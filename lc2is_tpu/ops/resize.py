@@ -1,0 +1,218 @@
+"""Separable image resize with exact torch / PIL semantics, as MXU matmuls.
+
+Three resize semantics coexist in the reference (SURVEY.md §7 "hard parts"):
+
+1. torch ``F.interpolate`` (no antialias): bicubic a=-0.75 / bilinear with
+   half-pixel centers, nearest with ``floor(i*in/out)``.  Sites:
+   ``model/model.py:43`` (bicubic x4), ``metrics.py:27,67,89`` (bicubic),
+   ``model/hierarchical.py:43,148`` + ``model/final.py:44`` (bilinear x2/x4),
+   ``metrics.py:28,90`` (nearest), ``model/encoder.py:40`` (pos-emb bicubic).
+2. PIL (via HF CLIPFeatureExtractor, ``evaluate.py:58-60``): bicubic a=-0.5
+   WITH antialias (support scaled on downscale, weights normalised), and PIL
+   NEAREST (``floor((i+0.5)*scale)``).
+3. Label nearest via the HF extractor path (``collator.py:89-91``).
+
+TPU-first design: interpolation along an axis is a dense [out,in] weight
+matrix, so a 2-D resize is two matmuls that ride the MXU — no gather/scatter
+on the hot path.  Weight matrices are pure functions of the *static* shapes,
+computed in numpy at trace time and embedded as constants; everything here is
+jit-compatible with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Weight-matrix construction (numpy, trace-time)
+# ---------------------------------------------------------------------------
+
+
+def _cubic_kernel(x: np.ndarray, a: float) -> np.ndarray:
+    ax = np.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    w = np.where(
+        ax <= 1.0,
+        (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0,
+        np.where(ax < 2.0, a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a, 0.0),
+    )
+    return w
+
+
+@functools.lru_cache(maxsize=512)
+def _torch_resize_matrix(
+    in_size: int, out_size: int, method: str, scale: Optional[float] = None
+) -> np.ndarray:
+    """[out,in] matrix replicating torch F.interpolate (align_corners=False).
+
+    ``scale`` is in/out; torch uses 1/scale_factor when a scale_factor is
+    passed, in/out when a size is passed — identical for the integer factors
+    the reference uses.
+    """
+    s = scale if scale is not None else in_size / out_size
+    W = np.zeros((out_size, in_size), dtype=np.float64)
+    i = np.arange(out_size, dtype=np.float64)
+    src = (i + 0.5) * s - 0.5
+    if method == "bilinear":
+        i0 = np.floor(src).astype(np.int64)
+        frac = src - i0
+        for tap, wt in ((i0, 1.0 - frac), (i0 + 1, frac)):
+            idx = np.clip(tap, 0, in_size - 1)
+            np.add.at(W, (np.arange(out_size), idx), wt)
+    elif method == "bicubic":
+        i0 = np.floor(src).astype(np.int64)
+        frac = src - i0
+        for k in range(-1, 3):
+            wt = _cubic_kernel(k - frac, a=-0.75)
+            idx = np.clip(i0 + k, 0, in_size - 1)
+            np.add.at(W, (np.arange(out_size), idx), wt)
+    else:
+        raise ValueError(method)
+    return W.astype(np.float32)
+
+
+def _pil_filter(name: str):
+    if name == "bicubic":
+        return (lambda x: _cubic_kernel(x, a=-0.5)), 2.0
+    if name == "bilinear":
+        return (lambda x: np.clip(1.0 - np.abs(x), 0.0, None)), 1.0
+    if name == "lanczos":
+        def _lanczos(x, a=3.0):
+            x = np.asarray(x, dtype=np.float64)
+            out = np.sinc(x) * np.sinc(x / a)
+            return np.where(np.abs(x) < a, out, 0.0)
+        return _lanczos, 3.0
+    if name == "box":
+        return (lambda x: np.where(np.abs(x) <= 0.5, 1.0, 0.0)), 0.5
+    raise ValueError(name)
+
+
+@functools.lru_cache(maxsize=512)
+def _pil_resize_matrix(in_size: int, out_size: int, method: str) -> np.ndarray:
+    """[out,in] matrix replicating PIL.Image.resize (always antialiased)."""
+    filt, support = _pil_filter(method)
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    sup = support * filterscale
+    W = np.zeros((out_size, in_size), dtype=np.float64)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - sup + 0.5), 0)
+        xmax = min(int(center + sup + 0.5), in_size)
+        xs = np.arange(xmin, xmax, dtype=np.float64)
+        w = filt((xs + 0.5 - center) / filterscale)
+        tot = w.sum()
+        if tot != 0:
+            w = w / tot
+        W[i, xmin:xmax] = w
+    return W.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=512)
+def _nearest_indices(
+    in_size: int, out_size: int, semantics: str, scale: Optional[float] = None
+) -> np.ndarray:
+    s = scale if scale is not None else in_size / out_size
+    i = np.arange(out_size, dtype=np.float64)
+    if semantics == "torch":  # F.interpolate mode="nearest" (legacy asymmetric)
+        idx = np.floor(i * s)
+    elif semantics in ("torch-exact", "pil"):  # nearest-exact / PIL NEAREST
+        idx = np.floor((i + 0.5) * s)
+    else:
+        raise ValueError(semantics)
+    return np.clip(idx.astype(np.int64), 0, in_size - 1)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def _hw(size) -> Tuple[int, int]:
+    if isinstance(size, int):
+        return size, size
+    h, w = size
+    return int(h), int(w)
+
+
+def resize(
+    x: jnp.ndarray,
+    size=None,
+    scale_factor: Optional[float] = None,
+    method: str = "bilinear",
+    semantics: str = "torch",
+) -> jnp.ndarray:
+    """Resize the last two axes of ``x``.
+
+    method: "bilinear" | "bicubic" | "nearest" | (pil also: "lanczos", "box")
+    semantics: "torch" (F.interpolate, no antialias) or "pil" (antialiased).
+    Mirrors torch's output-size rule ``out = floor(in * scale_factor)``.
+    """
+    in_h, in_w = int(x.shape[-2]), int(x.shape[-1])
+    if size is not None:
+        out_h, out_w = _hw(size)
+        scale_h = scale_w = None
+    else:
+        assert scale_factor is not None
+        out_h = int(math.floor(in_h * scale_factor))
+        out_w = int(math.floor(in_w * scale_factor))
+        scale_h = scale_w = 1.0 / scale_factor
+
+    if (out_h, out_w) == (in_h, in_w) and method != "nearest":
+        # torch still applies the kernel at identity scale for bicubic, but
+        # the weight matrix reduces to identity taps; fall through for parity.
+        pass
+
+    if method == "nearest":
+        ih = _nearest_indices(in_h, out_h, semantics, scale_h)
+        iw = _nearest_indices(in_w, out_w, semantics, scale_w)
+        return x[..., ih, :][..., :, iw]
+
+    if semantics == "torch":
+        Wh = _torch_resize_matrix(in_h, out_h, method, scale_h)
+        Ww = _torch_resize_matrix(in_w, out_w, method, scale_w)
+    elif semantics == "pil":
+        Wh = _pil_resize_matrix(in_h, out_h, method)
+        Ww = _pil_resize_matrix(in_w, out_w, method)
+    else:
+        raise ValueError(semantics)
+
+    orig_dtype = x.dtype
+    compute_dtype = orig_dtype if orig_dtype in (jnp.float32, jnp.float64) else jnp.float32
+    xc = x.astype(compute_dtype)
+    wh = jnp.asarray(Wh, dtype=compute_dtype)
+    ww = jnp.asarray(Ww, dtype=compute_dtype)
+    # Two MXU matmuls: rows then columns.
+    y = jnp.einsum("oh,...hw->...ow", wh, xc, precision="highest")
+    y = jnp.einsum("pw,...ow->...op", ww, y, precision="highest")
+    return y.astype(orig_dtype)
+
+
+def resize_tokens(
+    tokens: jnp.ndarray,
+    grid_hw: Tuple[int, int],
+    size=None,
+    scale_factor: Optional[float] = None,
+    method: str = "bilinear",
+) -> jnp.ndarray:
+    """Resize a (B, H*W, C) token grid spatially, staying channels-last.
+
+    Replaces the reference's rearrange->interpolate->rearrange dance
+    (e.g. ``model/hierarchical.py:42-48``) without materialising NCHW.
+    """
+    b, p, c = tokens.shape
+    h, w = grid_hw
+    assert h * w == p, (h, w, p)
+    x = tokens.reshape(b, h, w, c)
+    # operate on (B, C_last) layout: resize axes 1,2 by moving them last
+    x = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
+    y = resize(x, size=size, scale_factor=scale_factor, method=method)
+    y = jnp.moveaxis(y, 1, -1)
+    oh, ow = y.shape[1], y.shape[2]
+    return y.reshape(b, oh * ow, c)
