@@ -1,0 +1,362 @@
+"""Torch-semantics building blocks as flax.linen modules.
+
+Parameters use torch layout and torch names (``weight`` is (out, in);
+``in_proj_weight`` is packed (3E, E)) so reference checkpoints import with a
+plain name walk (core/torch_import.py) — no transposes beyond what the math
+itself needs.  Forward math matches torch:
+
+- ``MultiheadAttention`` == ``nn.MultiheadAttention(batch_first=True)``,
+  incl. the asymmetric kdim/vdim projections used by the reference's
+  cross-attention (``model/decoder.py:13,28``) and key-padding masks
+  (True = ignore; polarity per ``model/model.py:38``).
+- ``TransformerEncoderLayer`` / ``TransformerDecoderLayer`` replicate torch's
+  post-norm default and ``norm_first=True`` orderings with identical dropout
+  placement (torch ``_sa_block``/``_mha_block``/``_ff_block``).
+- SR (spatial-reduction) variants replicate the SegFormer/PVT-style strided
+  conv K/V reduction (``model/decoder.py:113-134``,
+  ``model/hierarchical.py:174-225``).
+
+Layout note: everything is channels-last (B, P, C) internally — the
+TPU-native layout — with spatial reshapes only at conv/resize boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lc2is_tpu.nn import init as tinit
+from lc2is_tpu.ops.attention import merge_heads, scaled_dot_product_attention, split_heads
+
+
+class Linear(nn.Module):
+    out_features: int
+    use_bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        w = self.param("weight", tinit.torch_linear_weight, (self.out_features, in_features), self.param_dtype)
+        y = x @ w.astype(x.dtype).T
+        if self.use_bias:
+            b = self.param("bias", tinit.torch_linear_bias(in_features), (self.out_features,), self.param_dtype)
+            y = y + b.astype(x.dtype)
+        return y
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        w = self.param("weight", tinit.ones, (dim,), self.param_dtype)
+        b = self.param("bias", tinit.zeros, (dim,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * w + b).astype(x.dtype)
+
+
+class Conv2d(nn.Module):
+    """Strided conv on NHWC input with torch-layout (O, I, kh, kw) weights.
+
+    Covers the reference's uses: patch embedding (16×16/4×4 stride=k) and the
+    SR reduction (k=s=sr_ratio) — all stride==kernel, no padding.
+    """
+
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    use_bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, H, W, C)
+        in_channels = x.shape[-1]
+        k = self.kernel_size
+        w = self.param("weight", tinit.torch_conv_weight, (self.out_channels, in_channels, k, k), self.param_dtype)
+        y = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding="VALID",
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", tinit.torch_linear_bias(in_channels * k * k), (self.out_channels,), self.param_dtype)
+            y = y + b.astype(x.dtype)
+        return y
+
+
+class Dropout(nn.Module):
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - self.rate, x.shape)
+        return jnp.where(keep, x / (1.0 - self.rate), 0.0)
+
+
+class MultiheadAttention(nn.Module):
+    """torch ``nn.MultiheadAttention`` (batch_first) in flax.
+
+    If kdim == vdim == embed_dim: packed ``in_proj_weight`` (3E, E).
+    Otherwise: ``q_proj_weight`` (E, E), ``k_proj_weight`` (E, kdim),
+    ``v_proj_weight`` (E, vdim) — torch's ``_qkv_same_embed_dim=False`` path.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    kdim: Optional[int] = None
+    vdim: Optional[int] = None
+    attn_impl: str = "xla"
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query,
+        key,
+        value,
+        key_padding_mask=None,
+        attn_mask=None,
+        deterministic: bool = True,
+    ):
+        e = self.embed_dim
+        kdim = self.kdim if self.kdim is not None else e
+        vdim = self.vdim if self.vdim is not None else e
+        same = kdim == e and vdim == e
+        dt = query.dtype
+
+        if same:
+            w = self.param("in_proj_weight", tinit.xavier_uniform, (3 * e, e), self.param_dtype).astype(dt)
+            wq, wk, wv = w[:e], w[e : 2 * e], w[2 * e :]
+        else:
+            wq = self.param("q_proj_weight", tinit.xavier_uniform, (e, e), self.param_dtype).astype(dt)
+            wk = self.param("k_proj_weight", tinit.xavier_uniform, (e, kdim), self.param_dtype).astype(dt)
+            wv = self.param("v_proj_weight", tinit.xavier_uniform, (e, vdim), self.param_dtype).astype(dt)
+        b = self.param("in_proj_bias", tinit.zeros, (3 * e,), self.param_dtype).astype(dt)
+        bq, bk, bv = b[:e], b[e : 2 * e], b[2 * e :]
+
+        q = query @ wq.T + bq
+        k = key @ wk.T + bk
+        v = value @ wv.T + bv
+
+        q = split_heads(q, self.num_heads)
+        k = split_heads(k, self.num_heads)
+        v = split_heads(v, self.num_heads)
+
+        drop_rng = None
+        if self.dropout > 0.0 and not deterministic:
+            drop_rng = self.make_rng("dropout")
+        out = scaled_dot_product_attention(
+            q,
+            k,
+            v,
+            key_padding_mask=key_padding_mask,
+            attn_mask=attn_mask,
+            dropout_rate=0.0 if deterministic else self.dropout,
+            dropout_rng=drop_rng,
+            impl=self.attn_impl,
+        )
+        out = merge_heads(out)
+        out = OutProj(embed_dim=e, param_dtype=self.param_dtype, name="out_proj")(out)
+        return out
+
+
+class OutProj(nn.Module):
+    """MHA output projection: torch-Linear-default weight, zero bias."""
+
+    embed_dim: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", tinit.torch_linear_weight, (self.embed_dim, self.embed_dim), self.param_dtype)
+        b = self.param("bias", tinit.zeros, (self.embed_dim,), self.param_dtype)
+        return x @ w.astype(x.dtype).T + b.astype(x.dtype)
+
+
+def _activation(name_or_fn) -> Callable:
+    if callable(name_or_fn):
+        return name_or_fn
+    return {"relu": jax.nn.relu, "gelu": jax.nn.gelu}[name_or_fn]
+
+
+class TransformerEncoderLayer(nn.Module):
+    """torch ``nn.TransformerEncoderLayer`` (batch_first)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    layer_norm_eps: float = 1e-5
+    norm_first: bool = False
+    attn_impl: str = "xla"
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiheadAttention(
+            embed_dim=self.d_model, num_heads=self.nhead, dropout=self.dropout,
+            attn_impl=self.attn_impl, param_dtype=self.param_dtype,
+        )
+        self.linear1 = Linear(self.dim_feedforward, param_dtype=self.param_dtype)
+        self.linear2 = Linear(self.d_model, param_dtype=self.param_dtype)
+        self.norm1 = LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
+        self.norm2 = LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
+        self.dropout_ff = Dropout(self.dropout)
+        self.dropout1 = Dropout(self.dropout)
+        self.dropout2 = Dropout(self.dropout)
+
+    def _sa_block(self, x, attn_mask, key_padding_mask, deterministic):
+        x = self.self_attn(x, x, x, key_padding_mask=key_padding_mask, attn_mask=attn_mask, deterministic=deterministic)
+        return self.dropout1(x, deterministic)
+
+    def _ff_block(self, x, deterministic):
+        act = _activation(self.activation)
+        x = self.linear2(self.dropout_ff(act(self.linear1(x)), deterministic))
+        return self.dropout2(x, deterministic)
+
+    def __call__(self, src, src_mask=None, src_key_padding_mask=None, deterministic: bool = True):
+        x = src
+        if self.norm_first:
+            x = x + self._sa_block(self.norm1(x), src_mask, src_key_padding_mask, deterministic)
+            x = x + self._ff_block(self.norm2(x), deterministic)
+        else:
+            x = self.norm1(x + self._sa_block(x, src_mask, src_key_padding_mask, deterministic))
+            x = self.norm2(x + self._ff_block(x, deterministic))
+        return x
+
+
+class TransformerDecoderLayer(nn.Module):
+    """torch ``nn.TransformerDecoderLayer`` (batch_first) with the reference's
+    asymmetric-cross-attention extension: ``d_kv`` sets kdim=vdim of the
+    cross-attention (``model/decoder.py:9-13``)."""
+
+    d_model: int
+    nhead: int
+    d_kv: Optional[int] = None
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    layer_norm_eps: float = 1e-5
+    norm_first: bool = False
+    attn_impl: str = "xla"
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        kw = dict(attn_impl=self.attn_impl, param_dtype=self.param_dtype)
+        self.self_attn = MultiheadAttention(embed_dim=self.d_model, num_heads=self.nhead, dropout=self.dropout, **kw)
+        self.multihead_attn = MultiheadAttention(
+            embed_dim=self.d_model, num_heads=self.nhead, dropout=self.dropout,
+            kdim=self.d_kv, vdim=self.d_kv, **kw,
+        )
+        self.linear1 = Linear(self.dim_feedforward, param_dtype=self.param_dtype)
+        self.linear2 = Linear(self.d_model, param_dtype=self.param_dtype)
+        self.norm1 = LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
+        self.norm2 = LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
+        self.norm3 = LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
+        self.dropout_ff = Dropout(self.dropout)
+        self.dropout1 = Dropout(self.dropout)
+        self.dropout2 = Dropout(self.dropout)
+        self.dropout3 = Dropout(self.dropout)
+
+    def _sa_block(self, x, attn_mask, key_padding_mask, deterministic):
+        x = self.self_attn(x, x, x, key_padding_mask=key_padding_mask, attn_mask=attn_mask, deterministic=deterministic)
+        return self.dropout1(x, deterministic)
+
+    def _mha_block(self, x, mem, attn_mask, key_padding_mask, deterministic):
+        x = self.multihead_attn(x, mem, mem, key_padding_mask=key_padding_mask, attn_mask=attn_mask, deterministic=deterministic)
+        return self.dropout2(x, deterministic)
+
+    def _ff_block(self, x, deterministic):
+        act = _activation(self.activation)
+        x = self.linear2(self.dropout_ff(act(self.linear1(x)), deterministic))
+        return self.dropout3(x, deterministic)
+
+    def __call__(
+        self,
+        tgt,
+        memory,
+        tgt_mask=None,
+        memory_mask=None,
+        tgt_key_padding_mask=None,
+        memory_key_padding_mask=None,
+        deterministic: bool = True,
+    ):
+        x = tgt
+        if self.norm_first:
+            x = x + self._sa_block(self.norm1(x), tgt_mask, tgt_key_padding_mask, deterministic)
+            x = x + self._mha_block(self.norm2(x), memory, memory_mask, memory_key_padding_mask, deterministic)
+            x = x + self._ff_block(self.norm3(x), deterministic)
+        else:
+            x = self.norm1(x + self._sa_block(x, tgt_mask, tgt_key_padding_mask, deterministic))
+            x = self.norm2(x + self._mha_block(x, memory, memory_mask, memory_key_padding_mask, deterministic))
+            x = self.norm3(x + self._ff_block(x, deterministic))
+        return x
+
+
+class SRReduce(nn.Module):
+    """Strided-conv spatial reduction + LayerNorm over a square token grid
+    (``model/decoder.py:117-118,121-134``): params named ``sr`` and ``norm``."""
+
+    d_model: int
+    sr_ratio: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.sr = Conv2d(self.d_model, kernel_size=self.sr_ratio, stride=self.sr_ratio, param_dtype=self.param_dtype)
+        self.norm = LayerNorm(param_dtype=self.param_dtype)
+
+    def __call__(self, x):  # (B, P, C), P = H*W square
+        b, p, c = x.shape
+        h = int(round(p ** 0.5))
+        r = self.sr(x.reshape(b, h, h, c))
+        r = r.reshape(b, -1, c)
+        return self.norm(r)
+
+
+class SRTransformerEncoderLayer(TransformerEncoderLayer):
+    """``SRTransformerSelfA`` (``model/hierarchical.py:174-199``): queries at
+    full resolution, K/V from the conv-reduced tokens."""
+
+    sr_ratio: int = 1
+
+    def setup(self):
+        super().setup()
+        if self.sr_ratio > 1:
+            self.sr_reduce = SRReduce(self.d_model, self.sr_ratio, param_dtype=self.param_dtype)
+
+    def _sa_block(self, x, attn_mask, key_padding_mask, deterministic):
+        reduced = self.sr_reduce(x) if self.sr_ratio > 1 else x
+        y = self.self_attn(x, reduced, reduced, key_padding_mask=key_padding_mask, attn_mask=attn_mask, deterministic=deterministic)
+        return self.dropout1(y, deterministic)
+
+
+class SRTransformerDecoderLayer(TransformerDecoderLayer):
+    """``SRTransformerDecoder``/``SRTransformerCrossA`` (``model/decoder.py:113``,
+    ``model/hierarchical.py:201-225``): SR applies to the SELF-attention K/V;
+    cross-attention is untouched."""
+
+    sr_ratio: int = 1
+
+    def setup(self):
+        super().setup()
+        if self.sr_ratio > 1:
+            self.sr_reduce = SRReduce(self.d_model, self.sr_ratio, param_dtype=self.param_dtype)
+
+    def _sa_block(self, x, attn_mask, key_padding_mask, deterministic):
+        reduced = self.sr_reduce(x) if self.sr_ratio > 1 else x
+        y = self.self_attn(x, reduced, reduced, key_padding_mask=key_padding_mask, attn_mask=attn_mask, deterministic=deterministic)
+        return self.dropout1(y, deterministic)

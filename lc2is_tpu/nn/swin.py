@@ -1,0 +1,375 @@
+"""Swin Transformer in flax, HF-``SwinModel``-weight-compatible.
+
+Rebuilds the backbone behind the reference's ``SwinTransformer`` wrapper
+(``model/encoder.py:121-131``: microsoft/swin-small, ``output_hidden_states``
+pyramid ``hidden_states[:4]``) and ``model/ftn.py:12`` (swin-base).
+
+TPU-first shape of the computation:
+- window partition/shift = reshape + transpose + jnp.roll (no gathers);
+- all windows batched into one attention call ((B·nW), heads, 49, 32) that
+  rides the shared attention core (Pallas-switchable);
+- padding to window multiples replicated exactly as HF does (zero pad
+  right/bottom, shifted-window region mask computed on the padded canvas) so
+  imported weights reproduce activations at 512²/640² where 128 % 7 != 0.
+
+HF convention notes (verified against transformers.SwinModel):
+- ``hidden_states[0]`` is the patch embedding output; ``hidden_states[i]``
+  (i>=1) is stage i output AFTER patch merging — so ``hidden_states[:4]`` is
+  the [(H/4)²·C, (H/8)²·2C, (H/16)²·4C, (H/32)²·8C] pyramid the reference
+  consumes.
+- relative_position_index is a buffer (recomputed here, not imported).
+- attention mask for shifted windows uses the 9-region img_mask trick with
+  -100.0 fill, computed on padded H/W.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lc2is_tpu.nn import init as tinit
+from lc2is_tpu.nn.layers import Dropout, LayerNorm, Linear
+from lc2is_tpu.ops.attention import scaled_dot_product_attention
+
+
+@functools.lru_cache(maxsize=32)
+def _relative_position_index(window: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1)  # (w², w²)
+
+
+@functools.lru_cache(maxsize=64)
+def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> Optional[np.ndarray]:
+    """HF get_attn_mask: region-id trick on the padded canvas; returns
+    (num_windows, w², w²) additive mask with -100 at cross-region pairs."""
+    if shift == 0:
+        return None
+    img_mask = np.zeros((hp, wp), dtype=np.int32)
+    cnt = 0
+    for h_sl in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for w_sl in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img_mask[h_sl, w_sl] = cnt
+            cnt += 1
+    m = img_mask.reshape(hp // window, window, wp // window, window)
+    m = m.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B·nW, w², C)"""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window, window, w // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window * window, c)
+
+
+def window_reverse(x: jnp.ndarray, window: int, h: int, w: int) -> jnp.ndarray:
+    """(B·nW, w², C) -> (B, H, W, C)"""
+    c = x.shape[-1]
+    b = x.shape[0] // ((h // window) * (w // window))
+    x = x.reshape(b, h // window, w // window, window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+class SwinSelfAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    attn_impl: str = "xla"
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        kw = dict(param_dtype=self.param_dtype)
+        self.query = Linear(self.dim, **kw)
+        self.key = Linear(self.dim, **kw)
+        self.value = Linear(self.dim, **kw)
+        n = 2 * self.window - 1
+        self.relative_position_bias_table = self.param(
+            "relative_position_bias_table", tinit.zeros, (n * n, self.num_heads), self.param_dtype
+        )
+
+    def __call__(self, x, region_mask=None):
+        """x: (BnW, w², C); region_mask: (nW, w², w²) additive or None."""
+        bnw, p, c = x.shape
+        hds = self.num_heads
+        dh = c // hds
+
+        def heads(t):
+            return t.reshape(bnw, p, hds, dh).transpose(0, 2, 1, 3)
+
+        q = heads(self.query(x))
+        k = heads(self.key(x))
+        v = heads(self.value(x))
+
+        idx = _relative_position_index(self.window)
+        bias = self.relative_position_bias_table[idx.reshape(-1)]
+        bias = bias.reshape(p, p, hds).transpose(2, 0, 1).astype(jnp.float32)  # (H, w², w²)
+
+        if region_mask is None:
+            out = scaled_dot_product_attention(q, k, v, attn_mask=bias[None], impl="xla")
+        else:
+            nw = region_mask.shape[0]
+            rm = jnp.asarray(region_mask)[None, :, None, :, :]  # (1, nW, 1, w², w²)
+            full = bias[None, None] + rm  # (1, nW, H, w², w²)
+            full = jnp.broadcast_to(full, (bnw // nw, nw, hds, p, p)).reshape(bnw, hds, p, p)
+            out = scaled_dot_product_attention(q, k, v, attn_mask=full, impl="xla")
+        return out.transpose(0, 2, 1, 3).reshape(bnw, p, c)
+
+
+class SwinAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    attn_impl: str = "xla"
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.self_ = SwinSelfAttention(
+            self.dim, self.num_heads, self.window, attn_impl=self.attn_impl, param_dtype=self.param_dtype
+        )
+        self.output = SwinSelfOutput(self.dim, param_dtype=self.param_dtype)
+
+    def __call__(self, x, region_mask=None):
+        return self.output(self.self_(x, region_mask))
+
+
+class SwinSelfOutput(nn.Module):
+    dim: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.dense = Linear(self.dim, param_dtype=self.param_dtype)
+
+    def __call__(self, x):
+        return self.dense(x)
+
+
+class SwinIntermediate(nn.Module):
+    dim: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.dense = Linear(self.dim, param_dtype=self.param_dtype)
+
+    def __call__(self, x):
+        return jax.nn.gelu(self.dense(x), approximate=False)
+
+
+class SwinOutput(nn.Module):
+    dim: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.dense = Linear(self.dim, param_dtype=self.param_dtype)
+
+    def __call__(self, x):
+        return self.dense(x)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    shift: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    attn_impl: str = "xla"
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        kw = dict(param_dtype=self.param_dtype)
+        self.layernorm_before = LayerNorm(**kw)
+        self.attention = SwinAttention(self.dim, self.num_heads, self.window, attn_impl=self.attn_impl, **kw)
+        self.layernorm_after = LayerNorm(**kw)
+        self.intermediate = SwinIntermediate(int(self.dim * self.mlp_ratio), **kw)
+        self.output = SwinOutput(self.dim, **kw)
+
+    def _drop_path(self, x, deterministic):
+        if self.drop_path == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (x.shape[0], 1, 1))
+        return jnp.where(mask, x / keep, 0.0)
+
+    def __call__(self, x, hw: Tuple[int, int], deterministic: bool = True):
+        h, w = hw
+        b, p, c = x.shape
+        win = self.window
+        shift = self.shift if min(h, w) > self.window else 0
+        win = min(win, h, w)  # HF: window_size = min(input_resolution) if smaller
+
+        shortcut = x
+        x = self.layernorm_before(x)
+        x = x.reshape(b, h, w, c)
+        pad_h = (win - h % win) % win
+        pad_w = (win - w % win) % win
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp = h + pad_h, w + pad_w
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+        xw = window_partition(x, win)
+        mask = _shift_attn_mask(hp, wp, win, shift)
+        aw = self.attention(xw, mask)
+        x = window_reverse(aw, win, hp, wp)
+        if shift > 0:
+            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        if pad_h or pad_w:
+            x = x[:, :h, :w, :]
+        x = x.reshape(b, p, c)
+        x = shortcut + self._drop_path(x, deterministic)
+
+        y = self.output(self.intermediate(self.layernorm_after(x)))
+        return x + self._drop_path(y, deterministic)
+
+
+class SwinPatchMerging(nn.Module):
+    dim: int  # input dim
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.reduction = Linear(2 * self.dim, use_bias=False, param_dtype=self.param_dtype)
+        self.norm = LayerNorm(param_dtype=self.param_dtype)
+
+    def __call__(self, x, hw: Tuple[int, int]):
+        h, w = hw
+        b, p, c = x.shape
+        x = x.reshape(b, h, w, c)
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = x.reshape(b, -1, 4 * c)
+        x = self.norm(x)
+        return self.reduction(x)
+
+
+class SwinStage(nn.Module):
+    dim: int
+    depth: int
+    num_heads: int
+    window: int
+    downsample: bool
+    drop_path_rates: Sequence[float]
+    attn_impl: str = "xla"
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.blocks = [
+            SwinBlock(
+                self.dim, self.num_heads, self.window,
+                shift=0 if i % 2 == 0 else self.window // 2,
+                drop_path=self.drop_path_rates[i],
+                attn_impl=self.attn_impl, param_dtype=self.param_dtype,
+                name=f"blocks_{i}",
+            )
+            for i in range(self.depth)
+        ]
+        if self.downsample:
+            self.downsample_mod = SwinPatchMerging(self.dim, param_dtype=self.param_dtype)
+
+    def __call__(self, x, hw, deterministic: bool = True):
+        for blk in self.blocks:
+            x = blk(x, hw, deterministic)
+        if self.downsample:
+            x = self.downsample_mod(x, hw)
+            hw = ((hw[0] + 1) // 2, (hw[1] + 1) // 2)
+        return x, hw
+
+
+class SwinModel(nn.Module):
+    """Returns the HF hidden_states tuple (embedding + per-stage outputs)."""
+
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 18, 2)  # swin-small default
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window: int = 7
+    patch_size: int = 4
+    drop_path_rate: float = 0.1
+    attn_impl: str = "xla"
+    param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.patch_proj = SwinPatchEmbed(self.embed_dim, self.patch_size, param_dtype=self.param_dtype)
+        self.embed_norm = LayerNorm(param_dtype=self.param_dtype)
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        stages = []
+        cur = 0
+        for i, depth in enumerate(self.depths):
+            stages.append(
+                SwinStage(
+                    dim=self.embed_dim * (2 ** i),
+                    depth=depth,
+                    num_heads=self.num_heads[i],
+                    window=self.window,
+                    downsample=i < len(self.depths) - 1,
+                    drop_path_rates=tuple(dpr[cur : cur + depth]),
+                    attn_impl=self.attn_impl,
+                    param_dtype=self.param_dtype,
+                    name=f"stages_{i}",
+                )
+            )
+            cur += depth
+        self.stages = stages
+        self.layernorm = LayerNorm(param_dtype=self.param_dtype)
+
+    def __call__(self, pixel_values, deterministic: bool = True) -> List[jnp.ndarray]:
+        """pixel_values: (B, 3, H, W). Returns hidden_states list of length
+        num_stages+1 matching HF SwinModel(output_hidden_states=True)."""
+        x = pixel_values.astype(self.dtype)
+        x, hw = self.patch_proj(x)
+        x = self.embed_norm(x)
+        hidden_states = [x]
+        for stage in self.stages:
+            x, hw = stage(x, hw, deterministic)
+            hidden_states.append(x)
+        # HF also produces layernorm(sequence_output); the reference never
+        # consumes it (hidden_states[:4]) but we keep the param for import.
+        return hidden_states
+
+
+class SwinPatchEmbed(nn.Module):
+    embed_dim: int
+    patch_size: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixel_values):  # (B, 3, H, W)
+        p = self.patch_size
+        w = self.param("projection", tinit.torch_conv_weight, (self.embed_dim, 3, p, p), self.param_dtype)
+        b_ = self.param("projection_bias", tinit.torch_linear_bias(3 * p * p), (self.embed_dim,), self.param_dtype)
+        x = jnp.moveaxis(pixel_values, 1, -1)
+        h, ww = x.shape[1], x.shape[2]
+        pad_h = (p - h % p) % p
+        pad_w = (p - ww % p) % p
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(p, p), padding="VALID",
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        ) + b_.astype(x.dtype)
+        bsz, oh, ow, c = y.shape
+        return y.reshape(bsz, oh * ow, c), (oh, ow)
+
+
+# Named configs matching the HF checkpoints the reference loads.
+SWIN_SMALL = dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24))
+SWIN_BASE = dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32))
+SWIN_TINY = dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24))
