@@ -38,14 +38,18 @@ from lc2is_tpu.ops.attention import scaled_dot_product_attention
 
 
 @functools.lru_cache(maxsize=32)
-def _relative_position_index(window: int) -> np.ndarray:
+def _relative_position_index(window: int, table_window: Optional[int] = None) -> np.ndarray:
+    """Index into a (2·tw-1)² bias table for an effective window ``window``
+    (== table window normally; smaller when the input grid is smaller than
+    the configured window, mirroring the shrink rule)."""
+    tw = table_window or window
     coords = np.stack(np.meshgrid(np.arange(window), np.arange(window), indexing="ij"))
     flat = coords.reshape(2, -1)
     rel = flat[:, :, None] - flat[:, None, :]
     rel = rel.transpose(1, 2, 0).astype(np.int64)
-    rel[:, :, 0] += window - 1
-    rel[:, :, 1] += window - 1
-    rel[:, :, 0] *= 2 * window - 1
+    rel[:, :, 0] += tw - 1
+    rel[:, :, 1] += tw - 1
+    rel[:, :, 0] *= 2 * tw - 1
     return rel.sum(-1)  # (w², w²)
 
 
@@ -101,7 +105,7 @@ class SwinSelfAttention(nn.Module):
             "relative_position_bias_table", tinit.zeros, (n * n, self.num_heads), self.param_dtype
         )
 
-    def __call__(self, x, region_mask=None):
+    def __call__(self, x, region_mask=None, eff_window: Optional[int] = None):
         """x: (BnW, w², C); region_mask: (nW, w², w²) additive or None."""
         bnw, p, c = x.shape
         hds = self.num_heads
@@ -114,7 +118,7 @@ class SwinSelfAttention(nn.Module):
         k = heads(self.key(x))
         v = heads(self.value(x))
 
-        idx = _relative_position_index(self.window)
+        idx = _relative_position_index(eff_window or self.window, self.window)
         bias = self.relative_position_bias_table[idx.reshape(-1)]
         bias = bias.reshape(p, p, hds).transpose(2, 0, 1).astype(jnp.float32)  # (H, w², w²)
 
@@ -142,8 +146,8 @@ class SwinAttention(nn.Module):
         )
         self.output = SwinSelfOutput(self.dim, param_dtype=self.param_dtype)
 
-    def __call__(self, x, region_mask=None):
-        return self.output(self.self_(x, region_mask))
+    def __call__(self, x, region_mask=None, eff_window=None):
+        return self.output(self.self_(x, region_mask, eff_window))
 
 
 class SwinSelfOutput(nn.Module):
@@ -223,7 +227,7 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
         xw = window_partition(x, win)
         mask = _shift_attn_mask(hp, wp, win, shift)
-        aw = self.attention(xw, mask)
+        aw = self.attention(xw, mask, eff_window=win)
         x = window_reverse(aw, win, hp, wp)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
