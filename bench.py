@@ -1,0 +1,95 @@
+"""Headline benchmark: ADE20K-style 512x512 inference throughput per chip.
+
+Metric (BASELINE.json): images/sec/chip on the flagship model
+(PromptAuxCrossA — the reference's canonical training model, SURVEY.md §3.3)
+at the canonical eval shape (512², batch 16), bf16.
+
+``vs_baseline``: BASELINE.json publishes no measured A100 number
+("published": {}), so the comparison point is an analytic estimate of the
+PyTorch-eager reference on A100: measured model FLOPs (XLA cost analysis)
+divided by an assumed 25% MFU of A100's 312 TFLOP/s fp16 — generous for
+un-compiled eager PyTorch with interpolate/einsum chains.  The target is
+vs_baseline >= 3.0 (north star).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_FP16_PEAK = 312e12
+A100_ASSUMED_MFU = 0.25
+
+BATCH = 16
+IMG = 512
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lc2is_tpu.models import zoo
+
+    class_names = tuple(f"thing {i}" for i in range(151))
+    model = zoo.PromptAuxCrossA(class_names=class_names, dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    pv = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32), dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), {"pixel_values": pv[:1]})
+
+    @jax.jit
+    def forward(p, x):
+        out = model.apply(p, {"pixel_values": x})
+        # eval consumes argmax masks; fold it in so we measure the served path
+        return jnp.argmax(out["outputs"], axis=1)
+
+    lowered = forward.lower(params, pv)
+    compiled = lowered.compile()
+    try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops_total = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_total = 0.0
+
+    for _ in range(WARMUP):
+        compiled(params, pv)[0].block_until_ready()
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        compiled(params, pv).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    img_per_s = BATCH / dt
+
+    if flops_total > 0:
+        flops_per_img = flops_total / BATCH
+        a100_est = (A100_FP16_PEAK * A100_ASSUMED_MFU) / flops_per_img
+        vs_baseline = img_per_s / a100_est
+    else:
+        flops_per_img, a100_est, vs_baseline = 0.0, 0.0, 0.0
+
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": "ade20k_512_infer_throughput",
+        "value": round(img_per_s, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 3),
+        "batch": BATCH,
+        "img": IMG,
+        "dtype": "bfloat16",
+        "model": "prompt_aux_cross_a",
+        "device": str(dev),
+        "step_ms": round(dt * 1e3, 2),
+        "gflops_per_img": round(flops_per_img / 1e9, 2),
+        "a100_eager_est_img_s": round(a100_est, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

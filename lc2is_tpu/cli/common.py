@@ -1,0 +1,119 @@
+"""Shared CLI plumbing: the reference's argparse surface
+(``evaluate.py:18-51`` / ``all_args.sh:10-35``) + model/dataset builders."""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Tuple
+
+import numpy as np
+
+from lc2is_tpu.data.ade20k import ADE20KDataset, SyntheticADE20K
+from lc2is_tpu.data.collators import ADE20KCollator
+from lc2is_tpu.data.loader import DataLoader
+from lc2is_tpu.data.transforms import Compose, Resize
+from lc2is_tpu.models import zoo
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # Base arguments
+    p.add_argument("--name", type=str, required=True, help="Run name")
+    p.add_argument("--out_dir", type=str, default="./experience/", help="Outputs directory")
+    p.add_argument("--seed", type=int, default=1024, help="Seed for reproducibility")
+    # Data arguments
+    p.add_argument("--data_name", type=str, default="ade20k", help="Dataset name (ade20k|synthetic)")
+    p.add_argument("--data_size", type=int, default=None, help="Dataset size")
+    p.add_argument("--data_root", type=str, default=None, help="ADE20K root dir")
+    p.add_argument("--split", type=str, default="validation")
+    # Model / training arguments
+    p.add_argument("--model", type=str, default="base_cross_a", choices=sorted(zoo.ZOO.keys()))
+    p.add_argument("--patch_size", type=int, default=16, help="Patch size")
+    p.add_argument("--img_size", type=int, default=512, help="Input images size")
+    p.add_argument("--label_size", type=int, default=128, help="Input labels size")
+    p.add_argument("--batch_size", type=int, default=16, help="Batch size")
+    p.add_argument("--lr", type=float, default=1e-5, help="Learning rate (initial)")
+    p.add_argument("--dropout", type=float, default=0.0, help="Dropout")
+    p.add_argument("--weight_decay", type=float, default=0.0, help="Weight decay")
+    p.add_argument("--device", type=str, default="tpu", help="Kept for parity; mesh is automatic")
+    p.add_argument("--fp16", type=lambda s: s.lower() in ("1", "true"), default=False,
+                   help="Mixed precision (bf16 on TPU)")
+    p.add_argument("--max_epoch", type=int, default=1, help="Maximum train epoch")
+    p.add_argument("--max_steps", type=int, default=None, help="Maximum train steps")
+    p.add_argument("--log_step", type=int, default=None)
+    p.add_argument("--eval_step", type=int, default=None)
+    p.add_argument("--save_step", type=int, default=None)
+    p.add_argument("--checkpoint", type=str, default=None, help="npz or reference .pt to load")
+    p.add_argument("--resume", action="store_true", help="Resume from latest checkpoint")
+    # Logging arguments
+    p.add_argument("--logger", type=str, default="csv", choices=["csv", "wandb", "null"])
+    p.add_argument("--wandb_project", type=str, default=None, help="Name of WandB project")
+    # Mesh
+    p.add_argument("--dp", type=int, default=-1, help="data-parallel axis size (-1: all devices)")
+    p.add_argument("--tp", type=int, default=1, help="model-parallel axis size")
+    return p
+
+
+def build_dataset(args, split: Optional[str] = None):
+    split = split or args.split
+    transform = Compose([Resize(args.img_size)])
+    if args.data_name == "synthetic":
+        ds = SyntheticADE20K(length=args.data_size or 64, img_size=args.img_size, transform=transform)
+    else:
+        ds = ADE20KDataset(root=args.data_root, split=split, size=args.data_size, transform=transform)
+    return ds
+
+
+class LabelResize:
+    """Wrap a dataset so labels come out at label_size (nearest)."""
+
+    def __init__(self, ds, label_size: int):
+        self.ds = ds
+        self.label_size = label_size
+        self.class_names = ds.class_names
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i):
+        from lc2is_tpu.data.transforms import _pil_resize
+
+        img, label, metas = self.ds[i]
+        lab = _pil_resize(label.astype(np.float32), (self.label_size, self.label_size), nearest=True)
+        return img, lab.astype(np.int64), metas
+
+
+def build_loaders(args) -> Tuple[DataLoader, DataLoader, list]:
+    train_ds = LabelResize(build_dataset(args, "training" if args.data_name != "synthetic" else None), args.label_size)
+    eval_ds = LabelResize(build_dataset(args, "validation" if args.data_name != "synthetic" else None), args.label_size)
+    coll = ADE20KCollator()
+    train = DataLoader(train_ds, args.batch_size, coll, shuffle=True, seed=args.seed,
+                       drop_last=True, num_workers=4)
+    ev = DataLoader(eval_ds, args.batch_size, coll, shuffle=False, drop_last=True, num_workers=4)
+    return train, ev, train_ds.class_names
+
+
+def build_model(args, class_names):
+    cls = zoo.ZOO[args.model]
+    kw = {}
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.fp16 else jnp.float32
+    if args.model in ("base_with_text", "contrastive", "dense_clip"):
+        kw = dict(in_size=args.img_size, out_size=args.label_size, dropout=args.dropout, dtype=dtype)
+        if args.model == "base_with_text":
+            import os
+
+            from lc2is_tpu.core.pt_io import load_pt
+
+            proto_path = os.environ.get("LC2IS_PROTOTYPES", "/root/reference/model/ade20k_prototypes.pt")
+            if os.path.exists(proto_path):
+                kw["prototypes"] = load_pt(proto_path)
+    elif args.model in ("base_self_a", "base_cross_a", "prompt_self_a", "prompt_cross_a",
+                        "prompt_aux_self_a", "prompt_aux_cross_a"):
+        kw = dict(class_names=tuple(class_names), dropout=args.dropout, dtype=dtype)
+    elif args.model == "denseclip_ftn":
+        kw = dict(class_names=tuple(class_names), dtype=dtype)
+    else:
+        kw = dict(dtype=dtype)
+    return cls(**kw)

@@ -1,0 +1,63 @@
+"""Optimizers + schedulers (optax), with frozen-subtree masking.
+
+The reference trains with torch AdamW-style settings (lr 1e-5, wd 0 —
+``all_args.sh:14-16``) and freezes text encoders via requires_grad=False
+(e.g. ``final.py:97-99``); here freezing is an optax mask keyed by the zoo's
+FROZEN_PREFIXES.  The lr scheduler steps per optimizer step
+(``engine.py:103-104``), which is optax's native behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import optax
+
+
+def frozen_mask(params, frozen_prefixes: Sequence[str]):
+    """True = trainable.  Prefixes are dotted paths into params."""
+
+    def path_of(p) -> str:
+        return ".".join(str(k.key) if hasattr(k, "key") else str(k) for k in p)
+
+    def is_trainable(path, _):
+        s = path_of(path)
+        return not any(s == fp or s.startswith(fp + ".") for fp in frozen_prefixes)
+
+    return jax.tree_util.tree_map_with_path(is_trainable, params)
+
+
+def make_schedule(kind: str, lr: float, total_steps: int, warmup: int = 0):
+    if kind == "constant":
+        return optax.constant_schedule(lr)
+    if kind == "cosine":
+        return optax.warmup_cosine_decay_schedule(0.0, lr, warmup, max(total_steps, 1))
+    if kind == "linear":
+        return optax.linear_schedule(lr, 0.0, max(total_steps - warmup, 1), warmup)
+    raise ValueError(kind)
+
+
+def make_optimizer(
+    params,
+    lr: float = 1e-5,
+    weight_decay: float = 0.0,
+    schedule: str = "constant",
+    total_steps: int = 100,
+    warmup: int = 0,
+    frozen_prefixes: Sequence[str] = (),
+    grad_clip: Optional[float] = None,
+):
+    sched = make_schedule(schedule, lr, total_steps, warmup)
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay))
+    tx = optax.chain(*chain)
+    if frozen_prefixes:
+        mask = frozen_mask(params, frozen_prefixes)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask),
+        )
+    return tx

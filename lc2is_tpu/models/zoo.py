@@ -378,11 +378,15 @@ class _FinalBase(nn.Module):
     tie_block_weights: bool = True
     attn_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
+    swin_cfg: Optional[Dict[str, Any]] = None  # override (tests/dryrun); default swin-small
 
-    IN_DIMS = (96, 192, 384, 768)  # swin-small (final.py:18)
+    @property
+    def IN_DIMS(self):
+        cfg = self.swin_cfg or SWIN_SMALL
+        return tuple(cfg["embed_dim"] * (2 ** i) for i in range(len(cfg["depths"])))
 
     def _make_vision(self):
-        return SwinModel(attn_impl=self.attn_impl, dtype=self.dtype, **SWIN_SMALL)
+        return SwinModel(attn_impl=self.attn_impl, dtype=self.dtype, **(self.swin_cfg or SWIN_SMALL))
 
     def _make_decoder(self, cls):
         return cls(

@@ -113,10 +113,13 @@ def test_denseclip_ftn(rng):
     assert out.shape == (B, 3, IMG, IMG)
 
 
+TINY_SWIN = dict(embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8), window=4)
+
+
 @pytest.mark.parametrize("name", ["base_self_a", "base_cross_a"])
 def test_final_base_family(rng, name):
     cls = zoo.ZOO[name]
-    model = cls(class_names=("wall", "sky", "tree"), dropout=0.0)
+    model = cls(class_names=("wall", "sky", "tree"), dropout=0.0, swin_cfg=TINY_SWIN)
     inputs = _inputs(rng, with_text=False)
     _, out = _init_apply(model, inputs)
     assert set(out.keys()) == {"outputs"}
@@ -126,7 +129,8 @@ def test_final_base_family(rng, name):
 @pytest.mark.parametrize("name", ["prompt_self_a", "prompt_cross_a"])
 def test_final_prompt_family(rng, name):
     cls = zoo.ZOO[name]
-    model = cls(cfg=_small_denseclip_cfg(), class_names=("wall", "sky", "tree"))
+    model = cls(cfg=_small_denseclip_cfg(), class_names=("wall", "sky", "tree"),
+                swin_cfg=TINY_SWIN)
     inputs = _inputs(rng, with_text=False)
     _, out = _init_apply(model, inputs)
     assert out["outputs"].shape == (B, 3, IMG, IMG)
@@ -135,7 +139,8 @@ def test_final_prompt_family(rng, name):
 @pytest.mark.parametrize("name", ["prompt_aux_self_a", "prompt_aux_cross_a"])
 def test_final_aux_family(rng, name):
     cls = zoo.ZOO[name]
-    model = cls(cfg=_small_denseclip_cfg(), class_names=("wall", "sky", "tree"))
+    model = cls(cfg=_small_denseclip_cfg(), class_names=("wall", "sky", "tree"),
+                swin_cfg=TINY_SWIN)
     inputs = _inputs(rng, with_text=False)
     params, out = _init_apply(model, inputs)
     assert set(out.keys()) == {"outputs", "low_score_map"}
@@ -148,7 +153,8 @@ def test_grads_flow_aux_cross(rng):
     """End-to-end gradient through the canonical model (CE + 0.4*aux)."""
     from lc2is_tpu.nn.losses import auxiliary_loss, cross_entropy
 
-    model = zoo.PromptAuxCrossA(cfg=_small_denseclip_cfg(), class_names=("wall", "sky", "tree"))
+    model = zoo.PromptAuxCrossA(cfg=_small_denseclip_cfg(), class_names=("wall", "sky", "tree"),
+                                swin_cfg=TINY_SWIN)
     inputs = _inputs(rng, with_text=False)
     labels = jnp.asarray(rng.randint(0, 3, size=(B, IMG // 4, IMG // 4)))
     params = model.init(jax.random.PRNGKey(0), inputs)
