@@ -47,24 +47,34 @@ def main():
         # eval consumes argmax masks; fold it in so we measure the served path
         return jnp.argmax(out["outputs"], axis=1)
 
-    lowered = forward.lower(params, pv)
-    compiled = lowered.compile()
     try:
-        cost = compiled.cost_analysis()
+        cost = jax.jit(forward).lower(params, pv).compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops_total = float(cost.get("flops", 0.0))
     except Exception:
         flops_total = 0.0
 
-    for _ in range(WARMUP):
-        compiled(params, pv)[0].block_until_ready()
+    # Device-side loop: each iteration's input depends on the previous
+    # output, so the whole chain must execute before the result lands —
+    # robust against async-dispatch / remote-tunnel pipelining.
+    import functools
 
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        compiled(params, pv).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def forward_chain(p, x, n):
+        def body(carry, _):
+            pred = forward(p, carry)
+            # fold a scalar of the prediction back into the input (dependency)
+            bump = (pred[0, 0, 0].astype(x.dtype) * 0).reshape(())
+            return carry + bump, ()
+
+        y, _ = jax.lax.scan(body, x, None, length=n)
+        return jnp.sum(y[0, 0, 0])
+
+    forward_chain(params, pv, ITERS).block_until_ready()  # compile + warmup
+    t0 = time.perf_counter()
+    forward_chain(params, pv, ITERS).block_until_ready()
+    dt_total = time.perf_counter() - t0
+    dt = dt_total / ITERS
     img_per_s = BATCH / dt
 
     if flops_total > 0:
