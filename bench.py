@@ -63,8 +63,9 @@ def main():
     def forward_chain(p, x, n):
         def body(carry, _):
             pred = forward(p, carry)
-            # fold a scalar of the prediction back into the input (dependency)
-            bump = (pred[0, 0, 0].astype(x.dtype) * 0).reshape(())
+            # fold a data-dependent (non-foldable) scalar of the prediction
+            # back into the carry so every iteration must fully execute
+            bump = pred.astype(x.dtype).mean() * jnp.asarray(1e-12, x.dtype)
             return carry + bump, ()
 
         y, _ = jax.lax.scan(body, x, None, length=n)
