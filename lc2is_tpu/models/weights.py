@@ -88,3 +88,35 @@ def _swin_rename(key: str) -> Optional[str]:
 
 def load_swin_params(state_dict: Mapping[str, np.ndarray]) -> Dict:
     return state_dict_to_params(state_dict, rename=_swin_rename, sr_fix=False)
+
+
+def load_base_model_with_text_params(
+    state_dict: Mapping[str, np.ndarray], in_size: int = 224, patch_size: int = 16
+) -> Dict:
+    """Import a full reference ``BaseModelWithText`` checkpoint
+    (``torch.save(model.state_dict())`` — the evaluate.sh ``step-400.pt``
+    shape): splits the flat dict by the reference submodule prefixes
+    (``model/model.py:20-25``) and routes each through the matching mapper."""
+    vis_sd = {k[len("vision_encoder.enc."):]: v for k, v in state_dict.items()
+              if k.startswith("vision_encoder.enc.")}
+    txt_sd = {k[len("text_encoder.enc."):]: v for k, v in state_dict.items()
+              if k.startswith("text_encoder.enc.")}
+    params: Dict = {
+        # NOTE: reference checkpoints already carry interpolated pos-embs when
+        # trained at in_size != 224 (interpolation happens at ctor time,
+        # encoder.py:24-27), so in_size here describes the CHECKPOINT's size.
+        "vision_encoder": load_clip_vision_params(vis_sd, in_size=in_size, patch_size=patch_size),
+        "text_encoder": load_clip_text_params(txt_sd),
+    }
+    rest = {
+        k: v for k, v in state_dict.items()
+        if not (k.startswith("vision_encoder.") or k.startswith("text_encoder."))
+    }
+    tail = state_dict_to_params(rest, sr_fix=False)
+    if "class_prototypes" in tail:
+        params["class_prototypes"] = tail["class_prototypes"]
+    if "vision_decoder" in tail:
+        params["vision_decoder"] = tail["vision_decoder"]
+    if "pixel_patch" in tail:
+        params["pixel_patch"] = tail["pixel_patch"]
+    return params

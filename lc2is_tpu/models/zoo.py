@@ -90,28 +90,35 @@ class BaseModelWithText(nn.Module):
     dropout: float = 0.0
     num_layers: int = 1
     prototypes: Optional[np.ndarray] = None  # (151, 512) ade20k_prototypes.pt
+    vision_kwargs: Optional[Dict[str, Any]] = None  # encoder overrides (tests)
+    text_kwargs: Optional[Dict[str, Any]] = None
+    nhead: int = 8
     attn_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.vision_encoder = CLIPVisionTransformer(
             image_size=self.in_size, patch_size=self.patch_size,
-            attn_impl=self.attn_impl, dtype=self.dtype,
+            attn_impl=self.attn_impl, dtype=self.dtype, **(self.vision_kwargs or {}),
         )
-        self.text_encoder = CLIPTextTransformer(attn_impl=self.attn_impl)
+        self.text_encoder = CLIPTextTransformer(attn_impl=self.attn_impl, **(self.text_kwargs or {}))
         protos = self.prototypes
+        text_dim = self.text_encoder.hidden_size
 
         def proto_init(key, shape, dtype=jnp.float32):
             if protos is not None:
                 return jnp.asarray(protos, dtype=dtype)
             return jax.random.normal(key, shape, dtype)
 
-        self.class_prototypes = self.param("class_prototypes", proto_init, (ADE20K_NUM_CLASSES, 512))
+        self.class_prototypes = self.param(
+            "class_prototypes", proto_init, (ADE20K_NUM_CLASSES, text_dim)
+        )
         self.vision_decoder = DecoderBlock(
-            d_model=768, d_kv=512, nhead=8, num_layers=self.num_layers,
+            d_model=self.vision_encoder.hidden_size, d_kv=text_dim,
+            nhead=self.nhead, num_layers=self.num_layers,
             dropout=self.dropout, norm_first=True, attn_impl=self.attn_impl,
         )
-        self.pixel_patch = TextToPatch(out=512)
+        self.pixel_patch = TextToPatch(out=text_dim)
 
     def __call__(self, inputs: Dict[str, jnp.ndarray], deterministic: bool = True):
         enc_t, _ = self.text_encoder(inputs["input_ids"], inputs.get("attention_mask"))
