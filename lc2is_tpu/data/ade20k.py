@@ -186,6 +186,57 @@ class ADE20KDataset:
         return dict(size=size, class_ids=class_ids, class_texts=class_texts)
 
 
+class ADE20KClassDataset(ADE20KDataset):
+    """The older-generation ``ADE20K_Dataset`` (``dataset.py:17-61``): raw
+    uint8 image + label + size + per-image present class ids/texts, consumed
+    by OldCollator/JoinTextCollator.  ids are 1-based; background 0 dropped;
+    class text = first synonym."""
+
+    def __init__(self, root: Optional[str] = None, split: str = "validation",
+                 size: Optional[int] = None) -> None:
+        super().__init__(root=root, split=split, size=size, transform=None)
+
+    def __getitem__(self, index: int):
+        from PIL import Image
+
+        img_path, label_path = self.data[index]
+        img = np.asarray(Image.open(os.path.join(self.img_folder, img_path)).convert("RGB"),
+                         dtype=np.uint8).transpose(2, 0, 1)
+        label = np.asarray(Image.open(os.path.join(self.label_folder, label_path)).convert("L"),
+                           dtype=np.int64)
+        size = np.asarray([label.shape], dtype=np.int64)
+        class_ids = np.unique(label).tolist()
+        if 0 in class_ids:
+            class_ids.remove(0)  # not a class (dataset.py:46-49)
+        class_texts = [self.mapping[i - 1]["cls"] for i in class_ids]
+        return img, label, size, class_texts, class_ids
+
+
+class ADE20KFullClassDataset(ADE20KDataset):
+    """``ADE20K_DatasetFullClass`` (``dataset.py:63-109``): adds the full
+    151-name prompt list ('a photo of a ...', background 'none') and keeps
+    background in per-image ids (text 'none')."""
+
+    def __init__(self, root: Optional[str] = None, split: str = "validation",
+                 size: Optional[int] = None) -> None:
+        super().__init__(root=root, split=split, size=size, transform=None)
+        self.full_mapping = [dict(id=0, cls="none", text_list=["none"])] + self.mapping
+
+    def __getitem__(self, index: int):
+        from PIL import Image
+
+        img_path, label_path = self.data[index]
+        img = np.asarray(Image.open(os.path.join(self.img_folder, img_path)).convert("RGB"),
+                         dtype=np.uint8).transpose(2, 0, 1)
+        label = np.asarray(Image.open(os.path.join(self.label_folder, label_path)).convert("L"),
+                           dtype=np.int64)
+        size = np.asarray([label.shape], dtype=np.int64)
+        class_ids = np.unique(label).tolist()
+        class_texts = [self.mapping[i - 1]["cls"] if i != 0 else "none" for i in class_ids]
+        classes = ["a photo of a " + m["cls"] for m in self.mapping]  # dataset.py:95
+        return img, label, size, class_texts, class_ids, classes
+
+
 class SyntheticADE20K:
     """Deterministic fake ADE20K: blocky label maps + correlated images.
     Same item/meta contract as ADE20KDataset; no files needed."""
