@@ -54,28 +54,12 @@ def main():
     except Exception:
         flops_total = 0.0
 
-    # Device-side loop: each iteration's input depends on the previous
-    # output, so the whole chain must execute before the result lands —
-    # robust against async-dispatch / remote-tunnel pipelining.
-    import functools
+    # Honest timing through the axon tunnel: scan-chained executions with a
+    # data-dependent carry + HOST FETCH (block_until_ready alone does not
+    # wait for remote execution here; see engine/tpu_bench.py).
+    from lc2is_tpu.engine.tpu_bench import bench_steps
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def forward_chain(p, x, n):
-        def body(carry, _):
-            pred = forward(p, carry)
-            # fold a data-dependent (non-foldable) scalar of the prediction
-            # back into the carry so every iteration must fully execute
-            bump = pred.astype(x.dtype).mean() * jnp.asarray(1e-12, x.dtype)
-            return carry + bump, ()
-
-        y, _ = jax.lax.scan(body, x, None, length=n)
-        return jnp.sum(y[0, 0, 0])
-
-    forward_chain(params, pv, ITERS).block_until_ready()  # compile + warmup
-    t0 = time.perf_counter()
-    forward_chain(params, pv, ITERS).block_until_ready()
-    dt_total = time.perf_counter() - t0
-    dt = dt_total / ITERS
+    dt, _ = bench_steps(lambda x: forward(params, x), pv, n=ITERS)
     img_per_s = BATCH / dt
 
     if flops_total > 0:

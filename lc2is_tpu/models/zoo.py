@@ -93,7 +93,7 @@ class BaseModelWithText(nn.Module):
     vision_kwargs: Optional[Dict[str, Any]] = None  # encoder overrides (tests)
     text_kwargs: Optional[Dict[str, Any]] = None
     nhead: int = 8
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -151,7 +151,7 @@ class ContrastiveModel(nn.Module):
     out_size: int = 224
     dropout: float = 0.0
     num_layers: int = 1
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -184,7 +184,7 @@ class DenseClip(nn.Module):
     patch_size: int = 16
     in_size: int = 224
     out_size: int = 224
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -220,7 +220,7 @@ class PromptFTNv1(nn.Module):
     swin-base by default (see module docstring on the reference's dim bug)."""
 
     swin_variant: str = "base"
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -258,7 +258,7 @@ class BaseFTN(nn.Module):
     """``model/ftn.py:9-27``: swin-base + Decoder + Linear(512->151) head."""
 
     num_classes: int = ADE20K_NUM_CLASSES
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -279,7 +279,7 @@ class BaseFTN(nn.Module):
 class PromptFTNv2(nn.Module):
     """``model/ftn.py:29-64``: prompt decoder over the decoded 128² map."""
 
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -316,7 +316,7 @@ class PromptContextBase(nn.Module):
     cfg: Dict[str, Any]
     class_names: Sequence[str]
     visual_dim: int
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     def setup(self):
         cfg = self.cfg
@@ -347,7 +347,7 @@ class DenseCLIPFTN(nn.Module):
     cfg: Optional[Dict[str, Any]] = None
     class_names: Optional[Sequence[str]] = None
     swin_variant: str = "base"
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -383,7 +383,7 @@ class _FinalBase(nn.Module):
     nhead: int = 8
     dropout: float = 0.0
     tie_block_weights: bool = True
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
     swin_cfg: Optional[Dict[str, Any]] = None  # override (tests/dryrun); default swin-small
 

@@ -55,7 +55,7 @@ class CLIPAttention(nn.Module):
 
     embed_dim: int
     num_heads: int
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -92,7 +92,7 @@ class CLIPEncoderLayer(nn.Module):
     embed_dim: int
     num_heads: int
     mlp_dim: int
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -117,7 +117,7 @@ class CLIPVisionTransformer(nn.Module):
     num_layers: int = 12
     num_heads: int = 12
     mlp_dim: int = 3072
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -195,7 +195,7 @@ class CLIPTextTransformer(nn.Module):
     mlp_dim: int = 2048
     max_positions: int = 77
     eos_token_id: int = 49407
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):

@@ -50,7 +50,7 @@ class DecoderBlock(nn.Module):
     d_kv: Optional[int] = None
     dropout: float = 0.0
     norm_first: bool = False
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -86,7 +86,7 @@ class FTNBlock(nn.Module):
     sr_ratio: int = 2
     dropout: float = 0.1
     upsample: int = 2
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -107,7 +107,7 @@ class FTNDecoder(nn.Module):
     in_dims: Sequence[int]
     dim: int
     dropout: float = 0.1
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -161,7 +161,7 @@ class SelfABlock(nn.Module):
     dropout: float = 0.1
     upsample: int = 2
     tie_weights: bool = True
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -190,7 +190,7 @@ class CrossABlock(nn.Module):
     dropout: float = 0.1
     upsample: int = 2
     tie_weights: bool = True
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -215,7 +215,7 @@ class _HierarchicalBase(nn.Module):
     nhead: int = 8
     dropout: float = 0.1
     tie_block_weights: bool = True
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     _block_cls = None  # set by subclasses
@@ -295,7 +295,7 @@ class RepeatTransformer(nn.Module):
     sr_ratio: int
     nhead: int = 8
     upsample: bool = True
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -337,7 +337,7 @@ class FTNDecoderV2(nn.Module):
 
     dim_in: Sequence[int] = (128, 256, 512, 1024)
     dim_out: Sequence[int] = (256, 512, 1024, 1024)
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):

@@ -42,7 +42,7 @@ class ResidualAttentionBlock(nn.Module):
 
     width: int
     heads: int
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -70,7 +70,7 @@ class CLIPTextContextEncoder(nn.Module):
     transformer_heads: int = 8
     transformer_layers: int = 12
     embed_dim: int = 512
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -117,7 +117,7 @@ class _PreLNAttention(nn.Module):
     dim: int
     heads: int
     dropout: float = 0.0
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -140,7 +140,7 @@ class _ContextDecoderLayer(nn.Module):
     dim: int
     heads: int
     dropout: float = 0.0
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -171,7 +171,7 @@ class ContextDecoder(nn.Module):
     visual_dim: int = 512
     text_dim: int = 512  # deviation: explicit text dim (see module docstring)
     dropout: float = 0.1
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):

@@ -119,7 +119,7 @@ class MultiheadAttention(nn.Module):
     dropout: float = 0.0
     kdim: Optional[int] = None
     vdim: Optional[int] = None
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -203,7 +203,7 @@ class TransformerEncoderLayer(nn.Module):
     activation: str = "relu"
     layer_norm_eps: float = 1e-5
     norm_first: bool = False
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -252,7 +252,7 @@ class TransformerDecoderLayer(nn.Module):
     activation: str = "relu"
     layer_norm_eps: float = 1e-5
     norm_first: bool = False
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):

@@ -92,7 +92,7 @@ class SwinSelfAttention(nn.Module):
     dim: int
     num_heads: int
     window: int
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -122,14 +122,25 @@ class SwinSelfAttention(nn.Module):
         bias = self.relative_position_bias_table[idx.reshape(-1)]
         bias = bias.reshape(p, p, hds).transpose(2, 0, 1).astype(jnp.float32)  # (H, w², w²)
 
+        # 5-D attention with lazily-broadcast additive terms: logits are the
+        # only (B, nW, H, w², w²) tensor XLA materialises; the bias/mask adds
+        # fuse into the matmul epilogue instead of being broadcast in HBM.
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
         if region_mask is None:
-            out = scaled_dot_product_attention(q, k, v, attn_mask=bias[None], impl="xla")
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            logits = logits * scale + bias[None]
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         else:
             nw = region_mask.shape[0]
+            q5 = q.reshape(bnw // nw, nw, hds, p, dh)
+            k5 = k.reshape(bnw // nw, nw, hds, p, dh)
+            v5 = v.reshape(bnw // nw, nw, hds, p, dh)
             rm = jnp.asarray(region_mask)[None, :, None, :, :]  # (1, nW, 1, w², w²)
-            full = bias[None, None] + rm  # (1, nW, H, w², w²)
-            full = jnp.broadcast_to(full, (bnw // nw, nw, hds, p, p)).reshape(bnw, hds, p, p)
-            out = scaled_dot_product_attention(q, k, v, attn_mask=full, impl="xla")
+            logits = jnp.einsum("bwhqd,bwhkd->bwhqk", q5, k5, preferred_element_type=jnp.float32)
+            logits = logits * scale + bias[None, None] + rm
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bwhqk,bwhkd->bwhqd", probs, v5).reshape(bnw, hds, p, dh)
         return out.transpose(0, 2, 1, 3).reshape(bnw, p, c)
 
 
@@ -137,7 +148,7 @@ class SwinAttention(nn.Module):
     dim: int
     num_heads: int
     window: int
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -190,7 +201,7 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -271,7 +282,7 @@ class SwinStage(nn.Module):
     window: int
     downsample: bool
     drop_path_rates: Sequence[float]
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -306,7 +317,7 @@ class SwinModel(nn.Module):
     window: int = 7
     patch_size: int = 4
     drop_path_rate: float = 0.1
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 

@@ -36,7 +36,13 @@ def scaled_dot_product_attention(
     dropout_rng: Optional[jax.Array] = None,
     impl: str = "xla",
 ) -> jnp.ndarray:
-    """Returns (B, H, Lq, Dh). Computes softmax in fp32 for bf16 inputs."""
+    """Returns (B, H, Lq, Dh). Computes softmax in fp32 for bf16 inputs.
+
+    impl="auto": the Pallas flash kernel on TPU backends whenever the call
+    is flash-eligible (no dropout, no dense attn_mask), else the XLA path.
+    """
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() not in ("cpu",) else "xla"
     if impl == "flash" and dropout_rate == 0.0 and attn_mask is None:
         from lc2is_tpu.ops.flash_attention import flash_attention
 

@@ -184,6 +184,15 @@ def resize(
         raise ValueError(semantics)
 
     orig_dtype = x.dtype
+    if orig_dtype == jnp.bfloat16:
+        # hot path: keep bf16 end-to-end (MXU-native); exactness paths
+        # (metrics, tests) run in fp32/fp64 below
+        wh = jnp.asarray(Wh, dtype=jnp.bfloat16)
+        ww = jnp.asarray(Ww, dtype=jnp.bfloat16)
+        y = jnp.einsum("oh,...hw->...ow", wh, x, preferred_element_type=jnp.float32)
+        y = jnp.einsum("pw,...ow->...op", ww, y.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return y.astype(orig_dtype)
     compute_dtype = orig_dtype if orig_dtype in (jnp.float32, jnp.float64) else jnp.float32
     xc = x.astype(compute_dtype)
     wh = jnp.asarray(Wh, dtype=compute_dtype)
