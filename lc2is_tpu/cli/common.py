@@ -84,8 +84,13 @@ class LabelResize:
 
 
 def build_loaders(args) -> Tuple[DataLoader, DataLoader, list]:
-    train_ds = LabelResize(build_dataset(args, "training" if args.data_name != "synthetic" else None), args.label_size)
-    eval_ds = LabelResize(build_dataset(args, "validation" if args.data_name != "synthetic" else None), args.label_size)
+    # v1 CLIP models score at out_size==label_size (model.py:53); the Swin
+    # families (v2-v4) upsample x4 back to img_size (final.py:356) — the
+    # label must match the score-map resolution for CE (engine.py:82).
+    v1_models = ("base_with_text", "contrastive", "dense_clip")
+    label_target = args.label_size if args.model in v1_models else args.img_size
+    train_ds = LabelResize(build_dataset(args, "training" if args.data_name != "synthetic" else None), label_target)
+    eval_ds = LabelResize(build_dataset(args, "validation" if args.data_name != "synthetic" else None), label_target)
     coll = ADE20KCollator()
     train = DataLoader(train_ds, args.batch_size, coll, shuffle=True, seed=args.seed,
                        drop_last=True, num_workers=4)

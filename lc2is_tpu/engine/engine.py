@@ -76,7 +76,14 @@ class Engine:
         seed: int = 1024,
         keep_eval_outputs: bool = False,  # reference-compat raw-logit mode
         donate: bool = True,
+        debug_nans: bool = False,  # SURVEY §5.2: sanitizer mode
+        checkpoint_on_preemption: bool = True,  # SURVEY §5.3: SIGTERM save
     ) -> None:
+        if debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        self._preempted = False
+        if checkpoint_on_preemption:
+            self._install_preemption_handler()
         self.name = name
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -130,6 +137,22 @@ class Engine:
         self.train_metrics: Dict = {}
         self.eval_metrics: Dict = {}
         self.all_train_metrics: Dict[str, List[float]] = {}
+
+    # ------------------------------------------------------------------
+    def _install_preemption_handler(self):
+        """Failure/elastic-recovery hook the reference lacks (SURVEY §5.3):
+        on SIGTERM/SIGUSR1 (typical preemption notices) save a resumable
+        checkpoint and stop cleanly at the next step boundary."""
+        import signal
+
+        def handler(signum, frame):
+            self._preempted = True
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                signal.signal(sig, handler)
+            except (ValueError, OSError):
+                pass  # non-main thread or unsupported platform
 
     # ------------------------------------------------------------------
     def _peek_batch(self):
@@ -233,6 +256,11 @@ class Engine:
             eval_metrics = self.should_eval()
             log_metrics = self.should_log()
             save_path = self.should_save()
+            if self._preempted:
+                save_path = self.save()
+                print(f"[engine] preemption signal: checkpointed at step {self.train_step_count}")
+                self.stop_train = True
+                break
             if self.should_stop():
                 self.stop_train = True
                 break

@@ -38,11 +38,16 @@ def scaled_dot_product_attention(
 ) -> jnp.ndarray:
     """Returns (B, H, Lq, Dh). Computes softmax in fp32 for bf16 inputs.
 
-    impl="auto": the Pallas flash kernel on TPU backends whenever the call
-    is flash-eligible (no dropout, no dense attn_mask), else the XLA path.
+    impl="auto": the Pallas flash kernel on TPU backends when the call is
+    flash-eligible (no dropout, no dense attn_mask) AND the logits are big
+    enough to be HBM-bound (Lq*Lk >= 2^20 — the SR decoder's 4096x1024
+    self-attention, ViT's 1025² at 512² input).  Small attentions stay on
+    XLA: their materialised logits are cheap, and every extra Pallas
+    instantiation inflates the compile payload (axon relay 413 limit).
     """
     if impl == "auto":
-        impl = "flash" if jax.default_backend() not in ("cpu",) else "xla"
+        big = q.shape[2] * k.shape[2] >= (1 << 20)
+        impl = "flash" if (big and jax.default_backend() not in ("cpu",)) else "xla"
     if impl == "flash" and dropout_rate == 0.0 and attn_mask is None:
         from lc2is_tpu.ops.flash_attention import flash_attention
 
