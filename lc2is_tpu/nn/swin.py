@@ -53,22 +53,27 @@ def _relative_position_index(window: int, table_window: Optional[int] = None) ->
     return rel.sum(-1)  # (w², w²)
 
 
-@functools.lru_cache(maxsize=64)
-def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> Optional[np.ndarray]:
+def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> Optional[jnp.ndarray]:
     """HF get_attn_mask: region-id trick on the padded canvas; returns
-    (num_windows, w², w²) additive mask with -100 at cross-region pairs."""
+    (num_windows, w², w²) additive mask with -100 at cross-region pairs.
+
+    Built from iota ON DEVICE (not as a dense literal): a (nW, w², w²) f32
+    constant is megabytes of StableHLO text per stage and blows the axon
+    remote-compile payload limit; the iota construction is a few VPU ops."""
     if shift == 0:
         return None
-    img_mask = np.zeros((hp, wp), dtype=np.int32)
-    cnt = 0
-    for h_sl in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
-        for w_sl in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
-            img_mask[h_sl, w_sl] = cnt
-            cnt += 1
+
+    def region(n: int, idx):
+        # 0: [0, n-window)   1: [n-window, n-shift)   2: [n-shift, n)
+        return (idx >= n - window).astype(jnp.int32) + (idx >= n - shift).astype(jnp.int32)
+
+    hh = region(hp, jnp.arange(hp))
+    ww = region(wp, jnp.arange(wp))
+    img_mask = hh[:, None] * 3 + ww[None, :]
     m = img_mask.reshape(hp // window, window, wp // window, window)
     m = m.transpose(0, 2, 1, 3).reshape(-1, window * window)
     diff = m[:, None, :] - m[:, :, None]
-    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+    return jnp.where(diff != 0, -100.0, 0.0).astype(jnp.float32)
 
 
 def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:

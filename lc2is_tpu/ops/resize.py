@@ -114,6 +114,87 @@ def _pil_resize_matrix(in_size: int, out_size: int, method: str) -> np.ndarray:
     return W.astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# On-device (traced) weight-matrix construction.  Embedding the matrices as
+# literal constants bloats the StableHLO payload by megabytes per distinct
+# size (the axon remote-compile relay rejects >~16 MB bodies with HTTP 413),
+# so inside jit we build them from iota — a few hundred FLOPs, folded by XLA.
+# ---------------------------------------------------------------------------
+
+
+def _cubic_kernel_jnp(x, a: float):
+    ax = jnp.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    return jnp.where(
+        ax <= 1.0,
+        (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0,
+        jnp.where(ax < 2.0, a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a, 0.0),
+    )
+
+
+def _src_coords_exact(in_size: int, out_size: int, scale: Optional[float]):
+    """Exact half-pixel source coordinates: src = (i+0.5)*s - 0.5 decomposed
+    into an exact integer part and a <1 fraction (int32 arithmetic), so f32
+    never loses bits on large indices (worst-case f32 error ~6e-8)."""
+    if scale is None or scale == in_size / out_size:
+        i = jnp.arange(out_size, dtype=jnp.int32)
+        num = (2 * i + 1) * in_size - out_size  # src = num / (2*out)
+        den = 2 * out_size
+        i0 = jnp.where(num >= 0, num // den, -((-num + den - 1) // den))
+        frac = (num - i0 * den).astype(jnp.float32) / den
+        return i0.astype(jnp.float32), frac
+    # non-rational explicit scale (torch scale_factor path): plain f32
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    src = (i + 0.5) * scale - 0.5
+    i0 = jnp.floor(src)
+    return i0, src - i0
+
+
+def _torch_resize_matrix_jnp(in_size: int, out_size: int, method: str,
+                             scale: Optional[float], dtype) -> jnp.ndarray:
+    i0, frac = _src_coords_exact(in_size, out_size, scale)
+    cols = jnp.arange(in_size, dtype=jnp.float32)[None, :]
+    if method == "bilinear":
+        taps = ((i0, 1.0 - frac), (i0 + 1.0, frac))
+    elif method == "bicubic":
+        taps = tuple((i0 + k, _cubic_kernel_jnp(k - frac, -0.75)) for k in range(-1, 3))
+    else:
+        raise ValueError(method)
+    W = jnp.zeros((out_size, in_size), dtype=jnp.float32)
+    for tap, wt in taps:
+        idx = jnp.clip(tap, 0.0, in_size - 1.0)
+        W = W + (cols == idx[:, None]) * wt[:, None]
+    return W.astype(dtype)
+
+
+def _pil_resize_matrix_jnp(in_size: int, out_size: int, method: str, dtype) -> jnp.ndarray:
+    if method == "bicubic":
+        filt, support = (lambda x: _cubic_kernel_jnp(x, -0.5)), 2.0
+    elif method == "bilinear":
+        filt, support = (lambda x: jnp.clip(1.0 - jnp.abs(x), 0.0, None)), 1.0
+    else:  # lanczos/box stay on the host (np) path
+        return jnp.asarray(_pil_resize_matrix(in_size, out_size, method), dtype=dtype)
+    scale = in_size / out_size
+    fscale = max(scale, 1.0)
+    sup = support * fscale
+    # exact integer decomposition: center = ((2i+1)*in) / (2*out)
+    i = jnp.arange(out_size, dtype=jnp.int32)
+    cnum = (2 * i + 1) * in_size
+    den = 2 * out_size
+    c_int = (cnum // den).astype(jnp.float32)[:, None]
+    c_frac = ((cnum % den).astype(jnp.float32) / den)[:, None]
+    xs = jnp.arange(in_size, dtype=jnp.float32)[None, :]
+    w = filt(((xs - c_int) + (0.5 - c_frac)) / fscale)
+    centers = c_int + c_frac
+    xmin = jnp.maximum(jnp.trunc(centers - sup + 0.5), 0.0)
+    xmax = jnp.minimum(jnp.trunc(centers + sup + 0.5), float(in_size))
+    w = jnp.where((xs >= xmin) & (xs < xmax), w, 0.0)
+    tot = w.sum(axis=1, keepdims=True)
+    w = w / jnp.where(tot == 0, 1.0, tot)
+    return w.astype(dtype)
+
+
 @functools.lru_cache(maxsize=512)
 def _nearest_indices(
     in_size: int, out_size: int, semantics: str, scale: Optional[float] = None
@@ -174,29 +255,29 @@ def resize(
         iw = _nearest_indices(in_w, out_w, semantics, scale_w)
         return x[..., ih, :][..., :, iw]
 
-    if semantics == "torch":
-        Wh = _torch_resize_matrix(in_h, out_h, method, scale_h)
-        Ww = _torch_resize_matrix(in_w, out_w, method, scale_w)
-    elif semantics == "pil":
-        Wh = _pil_resize_matrix(in_h, out_h, method)
-        Ww = _pil_resize_matrix(in_w, out_w, method)
-    else:
-        raise ValueError(semantics)
-
     orig_dtype = x.dtype
     if orig_dtype == jnp.bfloat16:
         # hot path: keep bf16 end-to-end (MXU-native); exactness paths
         # (metrics, tests) run in fp32/fp64 below
-        wh = jnp.asarray(Wh, dtype=jnp.bfloat16)
-        ww = jnp.asarray(Ww, dtype=jnp.bfloat16)
+        wdt = jnp.bfloat16
+    else:
+        wdt = orig_dtype if orig_dtype in (jnp.float32, jnp.float64) else jnp.float32
+
+    if semantics == "torch":
+        wh = _torch_resize_matrix_jnp(in_h, out_h, method, scale_h, wdt)
+        ww = _torch_resize_matrix_jnp(in_w, out_w, method, scale_w, wdt)
+    elif semantics == "pil":
+        wh = _pil_resize_matrix_jnp(in_h, out_h, method, wdt)
+        ww = _pil_resize_matrix_jnp(in_w, out_w, method, wdt)
+    else:
+        raise ValueError(semantics)
+
+    if orig_dtype == jnp.bfloat16:
         y = jnp.einsum("oh,...hw->...ow", wh, x, preferred_element_type=jnp.float32)
         y = jnp.einsum("pw,...ow->...op", ww, y.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
         return y.astype(orig_dtype)
-    compute_dtype = orig_dtype if orig_dtype in (jnp.float32, jnp.float64) else jnp.float32
-    xc = x.astype(compute_dtype)
-    wh = jnp.asarray(Wh, dtype=compute_dtype)
-    ww = jnp.asarray(Ww, dtype=compute_dtype)
+    xc = x.astype(wdt)
     # Two MXU matmuls: rows then columns.
     y = jnp.einsum("oh,...hw->...ow", wh, xc, precision="highest")
     y = jnp.einsum("pw,...ow->...op", ww, y, precision="highest")

