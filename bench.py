@@ -39,27 +39,47 @@ def main():
 
     rng = np.random.RandomState(0)
     pv = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32), dtype=jnp.bfloat16)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), {"pixel_values": pv[:1]})
+    # host-side param materialisation (eval_shape + numpy): avoids a second
+    # large remote compile just for init (bench weights are random anyway)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), {"pixel_values": pv[:1]})
+    counter = [0]
 
-    @jax.jit
-    def forward(p, x):
-        out = model.apply(p, {"pixel_values": x})
-        # eval consumes argmax masks; fold it in so we measure the served path
-        return jnp.argmax(out["outputs"], axis=1)
+    def mk(s):
+        counter[0] += 1
+        r = np.random.RandomState(counter[0])
+        return jnp.asarray(0.02 * r.randn(*s.shape), dtype=s.dtype)
 
+    params = jax.tree_util.tree_map(mk, shapes)
+
+    # ONE AOT compile for everything (the axon relay 413s when several large
+    # compiles go through one process); cost analysis and the timing loop
+    # share the executable.  `step` chains through a data-dependent epsilon —
+    # block_until_ready alone does not wait for remote execution here, so
+    # timing host-fetches a scalar at the end (see engine/tpu_bench.py).
+    def step(p, x, eps):
+        out = model.apply(p, {"pixel_values": x + eps.astype(x.dtype)})
+        pred = jnp.argmax(out["outputs"], axis=1)  # the served artifact
+        return pred.astype(jnp.float32).mean() * jnp.asarray(1e-8, jnp.float32)
+
+    eps0 = jnp.asarray(0.0, jnp.float32)
+    compiled = jax.jit(step).lower(params, pv, eps0).compile()
     try:
-        cost = jax.jit(forward).lower(params, pv).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops_total = float(cost.get("flops", 0.0))
     except Exception:
         flops_total = 0.0
 
-    # Honest timing through the axon tunnel: scan-chained executions with a
-    # data-dependent carry + HOST FETCH (block_until_ready alone does not
-    # wait for remote execution here; see engine/tpu_bench.py).
-    from lc2is_tpu.engine.tpu_bench import bench_steps
+    def chain():
+        eps = eps0
+        for _ in range(ITERS):
+            eps = compiled(params, pv, eps)
+        return float(eps)  # host fetch forces the dependency chain
 
-    dt, _ = bench_steps(lambda x: forward(params, x), pv, n=ITERS)
+    chain()  # warmup (already compiled)
+    t0 = time.perf_counter()
+    chain()
+    dt = (time.perf_counter() - t0) / ITERS
     img_per_s = BATCH / dt
 
     if flops_total > 0:
