@@ -110,11 +110,27 @@ class SwinSelfAttention(nn.Module):
             "relative_position_bias_table", tinit.zeros, (n * n, self.num_heads), self.param_dtype
         )
 
-    def __call__(self, x, region_mask=None, eff_window: Optional[int] = None):
-        """x: (BnW, w², C); region_mask: (nW, w², w²) additive or None."""
+    def __call__(self, x, shift_info=None, eff_window: Optional[int] = None):
+        """x: (BnW, w², C); shift_info: (hp, wp, win, shift) of the padded
+        canvas (shift=0 → no region masking)."""
         bnw, p, c = x.shape
         hds = self.num_heads
         dh = c // hds
+        hp, wp, win, shift = shift_info if shift_info is not None else (0, 0, self.window, 0)
+
+        idx = _relative_position_index(eff_window or self.window, self.window)
+        bias = self.relative_position_bias_table[idx.reshape(-1)]
+        bias = bias.reshape(p, p, hds).transpose(2, 0, 1).astype(jnp.float32)  # (H, w², w²)
+
+        use_kernel = self.attn_impl != "xla" and jax.default_backend() != "cpu"
+        if use_kernel:
+            from lc2is_tpu.ops.window_attention import region_labels, window_attention
+
+            nW = (hp // win) * (wp // win) if shift else 1
+            regions = region_labels(bnw // max(nW, 1), hp, wp, win, shift) if shift else None
+            return window_attention(
+                self.query(x), self.key(x), self.value(x), bias, regions, hds
+            )
 
         def heads(t):
             return t.reshape(bnw, p, hds, dh).transpose(0, 2, 1, 3)
@@ -122,10 +138,7 @@ class SwinSelfAttention(nn.Module):
         q = heads(self.query(x))
         k = heads(self.key(x))
         v = heads(self.value(x))
-
-        idx = _relative_position_index(eff_window or self.window, self.window)
-        bias = self.relative_position_bias_table[idx.reshape(-1)]
-        bias = bias.reshape(p, p, hds).transpose(2, 0, 1).astype(jnp.float32)  # (H, w², w²)
+        region_mask = _shift_attn_mask(hp, wp, win, shift) if shift else None
 
         # 5-D attention with lazily-broadcast additive terms: logits are the
         # only (B, nW, H, w², w²) tensor XLA materialises; the bias/mask adds
@@ -162,8 +175,8 @@ class SwinAttention(nn.Module):
         )
         self.output = SwinSelfOutput(self.dim, param_dtype=self.param_dtype)
 
-    def __call__(self, x, region_mask=None, eff_window=None):
-        return self.output(self.self_(x, region_mask, eff_window))
+    def __call__(self, x, shift_info=None, eff_window=None):
+        return self.output(self.self_(x, shift_info, eff_window))
 
 
 class SwinSelfOutput(nn.Module):
@@ -242,8 +255,7 @@ class SwinBlock(nn.Module):
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
         xw = window_partition(x, win)
-        mask = _shift_attn_mask(hp, wp, win, shift)
-        aw = self.attention(xw, mask, eff_window=win)
+        aw = self.attention(xw, (hp, wp, win, shift), eff_window=win)
         x = window_reverse(aw, win, hp, wp)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
