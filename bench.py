@@ -82,6 +82,26 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     img_per_s = BATCH / dt
 
+    # calibrate the axon tunnel's per-call dispatch overhead with a trivial
+    # chained op (same protocol, ~zero device work) so the report separates
+    # device time from relay round-trips
+    def tiny(x, eps):
+        return eps * jnp.asarray(1.0000001, jnp.float32) + x[0, 0, 0, 0].astype(jnp.float32) * 1e-20
+
+    tinyc = jax.jit(tiny).lower(pv, eps0).compile()
+
+    def tiny_chain():
+        eps = eps0
+        for _ in range(ITERS):
+            eps = tinyc(pv, eps)
+        return float(eps)
+
+    tiny_chain()
+    t0 = time.perf_counter()
+    tiny_chain()
+    overhead = (time.perf_counter() - t0) / ITERS
+    dt_device = max(dt - overhead, 1e-9)
+
     if flops_total > 0:
         flops_per_img = flops_total / BATCH
         a100_est = (A100_FP16_PEAK * A100_ASSUMED_MFU) / flops_per_img
@@ -101,6 +121,8 @@ def main():
         "model": "prompt_aux_cross_a",
         "device": str(dev),
         "step_ms": round(dt * 1e3, 2),
+        "tunnel_overhead_ms": round(overhead * 1e3, 2),
+        "device_img_s_est": round(BATCH / dt_device, 2),
         "gflops_per_img": round(flops_per_img / 1e9, 2),
         "a100_eager_est_img_s": round(a100_est, 2),
     }))

@@ -51,6 +51,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # Mesh
     p.add_argument("--dp", type=int, default=-1, help="data-parallel axis size (-1: all devices)")
     p.add_argument("--tp", type=int, default=1, help="model-parallel axis size")
+    # Sliding-window multi-scale eval (BASELINE config #5)
+    p.add_argument("--sliding", action="store_true", help="multi-scale sliding-window eval")
+    p.add_argument("--scales", type=str, default="0.75,1.0,1.25")
+    p.add_argument("--crop", type=int, default=512)
+    p.add_argument("--stride", type=int, default=341)
     return p
 
 

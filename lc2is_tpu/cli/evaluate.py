@@ -40,9 +40,44 @@ def main(argv=None):
         logger=args.logger,
         seed=args.seed,
     )
-    metrics = engine.evaluate()
+    if args.sliding:
+        metrics = evaluate_sliding(engine, eval_loader, args)
+    else:
+        metrics = engine.evaluate()
     print(metrics)
     return metrics
+
+
+def evaluate_sliding(engine, eval_loader, args):
+    """Multi-scale sliding-window eval at the dataset resolution
+    (BASELINE config #5: hierarchical variant @ 640²)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lc2is_tpu.engine.sliding import multi_scale_sliding_eval
+    from lc2is_tpu.metrics.miou import per_image_miou
+
+    scales = tuple(float(s) for s in args.scales.split(","))
+
+    def tile_forward(x):
+        out = engine.model.apply(engine.params, {"pixel_values": x})
+        out = out if isinstance(out, dict) else dict(outputs=[o for o in out if o is not None][-1])
+        return out["outputs"]
+
+    miou_sum, n = 0.0, 0
+    for data in eval_loader:
+        inputs = dict(data[0]) if isinstance(data, tuple) else dict(data)
+        labels = jnp.asarray(inputs.pop("label"))
+        x = engine._cast({"pixel_values": inputs["pixel_values"]})["pixel_values"]
+        probs = multi_scale_sliding_eval(tile_forward, x, scales=scales,
+                                         crop=args.crop, stride=args.stride)
+        miou = per_image_miou(probs.astype(jnp.float32), labels,
+                              num_classes=engine.num_classes,
+                              upsample_logits_to_label=False)
+        b = int(labels.shape[0])
+        miou_sum += float(miou) * b
+        n += b
+    return dict(eval_mIOU_sliding=miou_sum / max(n, 1), scales=scales)
 
 
 if __name__ == "__main__":
