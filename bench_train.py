@@ -1,0 +1,84 @@
+"""Training-step throughput (secondary benchmark; bench.py is the headline).
+
+One jitted, donated train step on the canonical model (PromptAuxCrossA):
+CE + 0.4*aux loss, AdamW with frozen text encoder, bf16 compute / fp32
+params, 512² inputs.  Prints one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BATCH = 8
+IMG = 512
+ITERS = 6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lc2is_tpu.engine.optim import make_optimizer
+    from lc2is_tpu.models import zoo
+    from lc2is_tpu.nn.losses import auxiliary_loss, cross_entropy
+
+    model = zoo.PromptAuxCrossA(class_names=tuple(f"t{i}" for i in range(151)), dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    pv = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32), dtype=jnp.bfloat16)
+    labels = jnp.asarray(rng.randint(0, 151, size=(BATCH, IMG, IMG)).astype(np.int32))
+
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), {"pixel_values": pv[:1]})
+    counter = [0]
+
+    def mk(s):
+        counter[0] += 1
+        return jnp.asarray(0.02 * np.random.RandomState(counter[0]).randn(*s.shape), dtype=s.dtype)
+
+    variables = jax.tree_util.tree_map(mk, shapes)
+    params = variables["params"]
+    tx = make_optimizer(params, lr=1e-5, total_steps=100,
+                        frozen_prefixes=zoo.FROZEN_PREFIXES["prompt_aux_cross_a"])
+    opt_state = tx.init(params)
+
+    def train_step(p, o, x, y, eps):
+        def loss_fn(pp):
+            out = model.apply({"params": pp}, {"pixel_values": x + eps.astype(x.dtype)},
+                              deterministic=False, rngs={"dropout": jax.random.PRNGKey(0)})
+            return cross_entropy(out["outputs"], y) + 0.4 * auxiliary_loss(out["low_score_map"], y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o2 = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o2, loss * jnp.asarray(1e-8, jnp.float32)
+
+    eps0 = jnp.asarray(0.0, jnp.float32)
+    compiled = jax.jit(train_step, donate_argnums=(0, 1)).lower(
+        params, opt_state, pv, labels, eps0
+    ).compile()
+
+    def chain(p, o, n):
+        eps = eps0
+        for _ in range(n):
+            p, o, eps = compiled(p, o, pv, labels, eps)
+        return p, o, float(eps)
+
+    params, opt_state, _ = chain(params, opt_state, 2)  # warmup
+    t0 = time.perf_counter()
+    params, opt_state, _ = chain(params, opt_state, ITERS)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    print(json.dumps({
+        "metric": "ade20k_512_train_throughput",
+        "value": round(BATCH / dt, 3),
+        "unit": "images/sec/chip",
+        "batch": BATCH,
+        "img": IMG,
+        "dtype": "bfloat16",
+        "model": "prompt_aux_cross_a",
+        "step_ms": round(dt * 1e3, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,14 +65,24 @@ def window_attention(
     bias: jnp.ndarray,  # (heads, p, p) relative-position bias, f32
     regions: Optional[jnp.ndarray],  # (N, p) int32 shift-region labels or None
     num_heads: int,
-    block_windows: int = 32,
+    block_windows: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     n, p, c = q.shape
     dh = c // num_heads
     scale = 1.0 / np.sqrt(dh)
 
-    g = min(block_windows, n)
+    if block_windows is not None:
+        g = min(block_windows, n)
+    else:
+        # adapt windows-per-step to VMEM: qkv+out (4·g·p·c·2B) + logits
+        # (g·p·p·4B) within ~6 MB leaves room for double buffering
+        # conservative: Mosaic double-buffers the 4 data blocks and the
+        # per-head logits/exp/probs intermediates all live at once
+        budget = 1536 * 1024
+        per_window = 4 * p * c * 2 + p * p * 4
+        g = min(max(8, min(32, budget // per_window)), n)
+        g = max(8, (g // 8) * 8)  # regions block is (g, p): sublane dim % 8
     n_pad = ((n + g - 1) // g) * g
     if n_pad != n:
         pad = ((0, n_pad - n), (0, 0), (0, 0))
