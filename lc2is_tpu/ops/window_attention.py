@@ -58,12 +58,80 @@ def _kernel(q_ref, k_ref, v_ref, reg_ref, bias_ref, o_ref, *, num_heads, scale):
         o_ref[:, :, sl] = out.astype(o_ref.dtype)
 
 
+def _xla_window_attention(q, k, v, bias, regions, num_heads):
+    """Reference implementation (autodiff path for the custom VJP)."""
+    n, p, c = q.shape
+    dh = c // num_heads
+
+    def heads(t):
+        return t.reshape(n, p, num_heads, dh).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    scale = 1.0 / np.sqrt(dh)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale + bias[None]
+    if regions is not None:
+        neq = regions[:, None, :, None] != regions[:, None, None, :]
+        logits = jnp.where(neq, NEG, logits)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    return out.transpose(0, 2, 1, 3).reshape(n, p, c)
+
+
 def window_attention(
     q: jnp.ndarray,  # (N, p, C) — N = B·nW windows, heads packed in C
     k: jnp.ndarray,
     v: jnp.ndarray,
     bias: jnp.ndarray,  # (heads, p, p) relative-position bias, f32
     regions: Optional[jnp.ndarray],  # (N, p) int32 shift-region labels or None
+    num_heads: int,
+    block_windows: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable wrapper: Pallas forward, XLA-recompute backward."""
+    if regions is None:
+        dummy = jnp.zeros((q.shape[0], q.shape[1]), jnp.int32)
+        return _window_attention_vjp(q, k, v, bias, False, num_heads, block_windows,
+                                     interpret, dummy)
+    return _window_attention_vjp(q, k, v, bias, True, num_heads, block_windows,
+                                 interpret, regions)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _window_attention_vjp(q, k, v, bias, has_regions, num_heads, block_windows,
+                          interpret, regions):
+    return _window_attention_fwd_impl(
+        q, k, v, bias, regions if has_regions else None, num_heads, block_windows, interpret
+    )
+
+
+def _wa_fwd(q, k, v, bias, has_regions, num_heads, block_windows, interpret, regions):
+    out = _window_attention_vjp(q, k, v, bias, has_regions, num_heads,
+                                block_windows, interpret, regions)
+    return out, (q, k, v, bias, regions)
+
+
+def _wa_bwd(has_regions, num_heads, block_windows, interpret, res, g):
+    q, k, v, bias, regions = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: _xla_window_attention(
+            q_, k_, v_, b_, regions if has_regions else None, num_heads
+        ),
+        q, k, v, bias,
+    )
+    dq, dk, dv, db = vjp(g)
+    return dq, dk, dv, db, None
+
+
+_window_attention_vjp.defvjp(_wa_fwd, _wa_bwd)
+
+
+def _window_attention_fwd_impl(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    regions: Optional[jnp.ndarray],
     num_heads: int,
     block_windows: Optional[int] = None,
     interpret: bool = False,
