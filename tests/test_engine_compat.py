@@ -1,0 +1,58 @@
+"""Engine reference-compat surfaces: keep_eval_outputs + compute_metrics
+(the ``engine.py:128-129`` contract) and the GT-metrics wiring."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lc2is_tpu.core.mesh import make_mesh
+from lc2is_tpu.data.ade20k import SyntheticADE20K
+from lc2is_tpu.data.collators import ADE20KCollator
+from lc2is_tpu.data.loader import DataLoader
+from lc2is_tpu.data.transforms import Compose, Resize
+from lc2is_tpu.engine.engine import Engine
+from lc2is_tpu.metrics.gt import segmentation_metrics
+from lc2is_tpu.models import zoo
+
+TINY_SWIN = dict(embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8), window=4)
+
+
+def _engine(tmp_path, compute_metrics=None, keep=False):
+    ds = SyntheticADE20K(length=8, img_size=32, num_classes=5, transform=Compose([Resize(32)]))
+    loader = DataLoader(ds, 8, ADE20KCollator(), drop_last=True)
+    return Engine(
+        name="compat",
+        model=zoo.BaseCrossA(class_names=tuple(f"c{i}" for i in range(5)), dropout=0.0,
+                             swin_cfg=TINY_SWIN),
+        mesh=make_mesh(),
+        eval_loader=loader,
+        out_dir=str(tmp_path),
+        logger="null",
+        num_classes=5,
+        compute_metrics=compute_metrics,
+        keep_eval_outputs=keep,
+    )
+
+
+def test_compute_metrics_hook(tmp_path):
+    """User-supplied compute_metrics receives the raw outputs/labels dict and
+    its results come back 'eval_'-prefixed (engine.py:128-129 semantics)."""
+    calls = {}
+
+    def metrics_fn(outputs, labels):
+        calls["outputs"] = outputs.shape
+        calls["labels"] = labels.shape
+        return segmentation_metrics(outputs, labels, n_clas=5)
+
+    eng = _engine(tmp_path, compute_metrics=metrics_fn, keep=True)
+    m = eng.evaluate()
+    assert "eval_mIOU_label" in m
+    assert calls["outputs"][0] == 8 and calls["outputs"][1] == 5
+    assert calls["labels"] == (8, 32, 32)
+
+
+def test_eval_without_outputs_keeps_memory_low(tmp_path):
+    """Default mode: no raw-logit accumulation, metrics still computed."""
+    eng = _engine(tmp_path, keep=False)
+    metrics, outputs = eng.eval_loop()
+    assert outputs is None
+    assert "eval_mIOU_label" in metrics and "eval_mIOU_dataset" in metrics
