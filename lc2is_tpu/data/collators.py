@@ -6,7 +6,7 @@ Each produces the ``inputs`` dict contract the models consume
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 

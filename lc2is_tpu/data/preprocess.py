@@ -17,7 +17,7 @@ host loader buckets by aspect/size (square bucket by default).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

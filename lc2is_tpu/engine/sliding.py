@@ -10,12 +10,10 @@ after bilinear-resize to the base resolution.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from lc2is_tpu.ops.resize import resize
 

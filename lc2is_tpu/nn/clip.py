@@ -21,8 +21,7 @@ attention core is ops/attention (Pallas-flash switchable).
 
 from __future__ import annotations
 
-from dataclasses import field
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -24,8 +24,6 @@ Contract observed at ``model/final.py:91-130`` / ``model/new.py:15-50``:
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

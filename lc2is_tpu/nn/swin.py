@@ -33,8 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lc2is_tpu.nn import init as tinit
-from lc2is_tpu.nn.layers import Dropout, LayerNorm, Linear
-from lc2is_tpu.ops.attention import scaled_dot_product_attention
+from lc2is_tpu.nn.layers import LayerNorm, Linear
 
 
 @functools.lru_cache(maxsize=32)
