@@ -22,8 +22,9 @@ import numpy as np
 A100_FP16_PEAK = 312e12
 A100_ASSUMED_MFU = 0.25
 
-BATCH = 16
-IMG = 512
+import os
+BATCH = int(os.environ.get("LC2IS_BENCH_BATCH", "16"))
+IMG = int(os.environ.get("LC2IS_BENCH_IMG", "512"))
 WARMUP = 2
 ITERS = 8
 

@@ -41,12 +41,25 @@ def torch_key_to_flax_path(key: str):
 _SR_FIX = re.compile(r"(^|\.)(sr|norm)\.(weight|bias)$")
 
 
-def fix_sr_names(key: str) -> str:
+def _sr_prefixes(keys) -> set:
+    """Prefixes owning a torch SR reduction (identified by a ``sr.weight``
+    sibling) — only their ``sr``/``norm`` params move into ``sr_reduce``;
+    other bare ``norm``s (e.g. swin PatchMerging) stay put."""
+    out = set()
+    for k in keys:
+        if k.endswith("sr.weight"):
+            out.add(k[: -len("sr.weight")])
+    return out
+
+
+def fix_sr_names(key: str, sr_prefixes: Optional[set] = None) -> str:
     """Map a torch SR layer's direct ``sr``/``norm`` params into the flax
     ``sr_reduce`` submodule.  Only bare ``norm`` (not norm1/2/3) matches."""
     m = _SR_FIX.search(key)
     if m:
         prefix = key[: m.start()] + m.group(1)
+        if sr_prefixes is not None and prefix not in sr_prefixes:
+            return key
         return f"{prefix}sr_reduce.{m.group(2)}.{m.group(3)}"
     return key
 
@@ -58,6 +71,7 @@ def state_dict_to_params(
 ) -> Dict:
     """Build a flax params dict.  ``rename`` may return None to drop a key."""
     tree: Dict = {}
+    renamed = {}
     for key, val in state_dict.items():
         if key.endswith("num_batches_tracked") or key.endswith("position_ids"):
             continue
@@ -67,8 +81,11 @@ def state_dict_to_params(
             if k2 is None:
                 continue
             k = k2
+        renamed[k] = val
+    srp = _sr_prefixes(renamed.keys()) if sr_fix else None
+    for k, val in renamed.items():
         if sr_fix:
-            k = fix_sr_names(k)
+            k = fix_sr_names(k, srp)
         _set_nested(tree, torch_key_to_flax_path(k), np.asarray(val))
     return tree
 
