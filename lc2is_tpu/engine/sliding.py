@@ -79,10 +79,16 @@ def multi_scale_sliding_eval(
     for s in scales:
         sh, sw = int(round(h * s)), int(round(w * s))
         scaled = resize(image, size=(sh, sw), method="bilinear")
-        logits = sliding_window_logits(forward, scaled, crop=min(crop, sh, sw), stride=stride)
         if flip:
-            fl = sliding_window_logits(forward, scaled[:, :, :, ::-1], crop=min(crop, sh, sw), stride=stride)
-            logits = (logits + fl[:, :, :, ::-1]) / 2.0
+            # fold the flipped copies into the SAME tile batch so the model
+            # appears once per scale in the compiled graph (keeps the graph
+            # small enough for payload-limited remote compilation, and the
+            # bigger batch utilises the chip better)
+            both = jnp.concatenate([scaled, scaled[:, :, :, ::-1]], axis=0)
+            logits2 = sliding_window_logits(forward, both, crop=min(crop, sh, sw), stride=stride)
+            logits = (logits2[:b] + logits2[b:, :, :, ::-1]) / 2.0
+        else:
+            logits = sliding_window_logits(forward, scaled, crop=min(crop, sh, sw), stride=stride)
         probs = jax.nn.softmax(logits, axis=1)
         probs = resize(probs, size=(h, w), method="bilinear")
         total = probs if total is None else total + probs
