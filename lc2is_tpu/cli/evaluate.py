@@ -59,18 +59,24 @@ def evaluate_sliding(engine, eval_loader, args):
 
     scales = tuple(float(s) for s in args.scales.split(","))
 
-    def tile_forward(x):
-        out = engine.model.apply(engine.params, {"pixel_values": x})
-        out = out if isinstance(out, dict) else dict(outputs=[o for o in out if o is not None][-1])
-        return out["outputs"]
+    # params as a jit ARGUMENT (closing over them embeds hundreds of MB of
+    # constants in the compile payload — rejected by the axon relay)
+    @jax.jit
+    def sweep(p, x):
+        def tile_forward(t):
+            out = engine.model.apply(p, {"pixel_values": t})
+            out = out if isinstance(out, dict) else dict(outputs=[o for o in out if o is not None][-1])
+            return out["outputs"]
+
+        return multi_scale_sliding_eval(tile_forward, x, scales=scales,
+                                        crop=args.crop, stride=args.stride)
 
     miou_sum, n = 0.0, 0
     for data in eval_loader:
         inputs = dict(data[0]) if isinstance(data, tuple) else dict(data)
         labels = jnp.asarray(inputs.pop("label"))
         x = engine._cast({"pixel_values": inputs["pixel_values"]})["pixel_values"]
-        probs = multi_scale_sliding_eval(tile_forward, x, scales=scales,
-                                         crop=args.crop, stride=args.stride)
+        probs = sweep(engine.params, x)
         miou = per_image_miou(probs.astype(jnp.float32), labels,
                               num_classes=engine.num_classes,
                               upsample_logits_to_label=False)
