@@ -56,6 +56,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--scales", type=str, default="0.75,1.0,1.25")
     p.add_argument("--crop", type=int, default=512)
     p.add_argument("--stride", type=int, default=341)
+    # GT-resolution mIoU (metrics.py:61-79; needs raw-logit accumulation)
+    p.add_argument("--gt_metrics", action="store_true",
+                   help="also compute mIOU_gt at each image's original size")
+    p.add_argument("--gt_bucket", type=int, default=None,
+                   help="round GT sizes up to N-multiples to bound compiles (same numerics)")
     return p
 
 

@@ -29,6 +29,14 @@ def main(argv=None):
             state, _ = load_checkpoint(args.checkpoint)
             params = state["params"]
 
+    compute_metrics = None
+    if args.gt_metrics:
+        import functools
+
+        from lc2is_tpu.metrics.gt import segmentation_metrics
+
+        compute_metrics = functools.partial(segmentation_metrics, bucket=args.gt_bucket)
+
     engine = Engine(
         name=args.name,
         model=model,
@@ -39,6 +47,8 @@ def main(argv=None):
         out_dir=args.out_dir,
         logger=args.logger,
         seed=args.seed,
+        keep_eval_outputs=args.gt_metrics,
+        compute_metrics=compute_metrics,
     )
     if args.sliding:
         metrics = evaluate_sliding(engine, eval_loader, args)

@@ -183,7 +183,10 @@ class ADE20KDataset:
         if 0 in class_ids:
             class_ids.remove(0)
         class_texts = [self.mapping[i - 1]["cls"] for i in class_ids]
-        return dict(size=size, class_ids=class_ids, class_texts=class_texts)
+        # gt = the ORIGINAL-resolution label, so eval can run the GT-path
+        # mIoU (metrics.py:61-79) the reference intends but never wires up
+        # (its eval_outputs lack gt_list/sizes — SURVEY.md §8).
+        return dict(size=size, class_ids=class_ids, class_texts=class_texts, gt=label)
 
 
 class ADE20KClassDataset(ADE20KDataset):
@@ -280,7 +283,7 @@ class SyntheticADE20K:
         if 0 in class_ids:
             class_ids.remove(0)
         class_texts = [self.mapping[i - 1]["cls"] for i in class_ids]
-        metas = dict(size=size, class_ids=class_ids, class_texts=class_texts)
+        metas = dict(size=size, class_ids=class_ids, class_texts=class_texts, gt=metas_label)
         if self.transform is not None:
             img = (img - IMAGENET_MEAN[:, None, None]) / IMAGENET_STD[:, None, None]
             seed = int(np.random.randint(0, 2 ** 31 - 1))

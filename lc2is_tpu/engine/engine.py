@@ -270,6 +270,18 @@ class Engine:
     def evaluate(self) -> Dict[str, float]:
         eval_metrics, eval_outputs = self.eval_loop()
         if self.compute_metrics is not None and eval_outputs is not None:
+            import inspect
+
+            # reference contract is compute_metrics(**eval_outputs)
+            # (engine.py:128-129); drop keys the callable doesn't accept so
+            # outputs/labels-only metric fns keep working now that gt_list
+            # and sizes ride along
+            try:
+                sig = inspect.signature(self.compute_metrics)
+                if not any(p.kind == p.VAR_KEYWORD for p in sig.parameters.values()):
+                    eval_outputs = {k: v for k, v in eval_outputs.items() if k in sig.parameters}
+            except (TypeError, ValueError):
+                pass
             metrics = self.compute_metrics(**eval_outputs)
             eval_metrics = {**eval_metrics, **{"eval_" + k: v for k, v in metrics.items()}}
         return eval_metrics
@@ -303,6 +315,8 @@ class Engine:
                     for m in metas:
                         if isinstance(m, dict) and "size" in m:
                             sizes.append(m["size"])
+                        if isinstance(m, dict) and "gt" in m:
+                            gt_list.append(np.asarray(m["gt"]))
 
         eval_metrics = {k: float(np.mean(v)) for k, v in all_metrics.items()}
         eval_metrics["eval_mIOU_label"] = miou_sum / max(n_img, 1)
@@ -314,6 +328,12 @@ class Engine:
         outputs = None
         if self.keep_eval_outputs and all_outputs:
             outputs = dict(outputs=np.concatenate(all_outputs), labels=np.concatenate(all_labels))
+            # the GT path the reference drops at HEAD (metrics.py:45 expects
+            # gt_list+sizes; engine.py:166 never collects them) — pass them
+            # through whenever the metas carried full-resolution labels
+            if gt_list and sizes and len(gt_list) == len(outputs["outputs"]) == len(sizes):
+                outputs["gt_list"] = gt_list
+                outputs["sizes"] = sizes
         return eval_metrics, outputs
 
     # ------------------------------------------------------------------

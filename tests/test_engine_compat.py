@@ -56,3 +56,18 @@ def test_eval_without_outputs_keeps_memory_low(tmp_path):
     metrics, outputs = eng.eval_loop()
     assert outputs is None
     assert "eval_mIOU_label" in metrics and "eval_mIOU_dataset" in metrics
+
+
+def test_gt_path_through_engine(tmp_path):
+    """Engine.evaluate wires gt_list+sizes into compute_metrics so the
+    GT-path mIoU (metrics.py:45,61-79) runs end-to-end — fixing the drift
+    the reference has at HEAD (its eval_outputs lack both)."""
+    eng = _engine(tmp_path, compute_metrics=segmentation_metrics, keep=True)
+    m = eng.evaluate()
+    assert "eval_mIOU_gt" in m, sorted(m)
+    assert 0.0 <= m["eval_mIOU_gt"] <= 1.0
+    # n_clas defaults to 151 but the synthetic set has 5 classes; confusion
+    # over 151 with only 0-4 occupied is still correct
+    metrics, outputs = eng.eval_loop()
+    assert len(outputs["gt_list"]) == len(outputs["outputs"]) == len(outputs["sizes"])
+    assert outputs["gt_list"][0].shape == tuple(outputs["sizes"][0])

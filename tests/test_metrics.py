@@ -135,3 +135,20 @@ def test_segmentation_metrics_surface(rng):
     gt = [rng.randint(0, 5, size=(16, 16)).astype(np.int64) for _ in range(2)]
     m2 = segmentation_metrics(logits, labels, gt_list=gt, sizes=[(16, 16), (16, 16)])
     assert set(m2.keys()) == {"mIOU_label", "mIOU_gt"}
+
+
+def test_gt_miou_bucket_matches_exact():
+    """bucket=N groups sizes into canvases but must reproduce the exact
+    per-size path bit-for-bit (traced-size resize matrix + sentinel pad)."""
+    from lc2is_tpu.metrics.gt import compute_gt_miou
+
+    rng = np.random.RandomState(3)
+    n, k = 5, 7
+    logits = rng.randn(n, k, 8, 8).astype(np.float32)
+    sizes = [(17, 23), (17, 23), (30, 14), (9, 9), (32, 32)]
+    gt_list = [rng.randint(0, k, size=s).astype(np.int32) for s in sizes]
+
+    exact = compute_gt_miou(logits, gt_list, sizes, num_classes=k)
+    for bucket in (8, 16, 64):
+        bucketed = compute_gt_miou(logits, gt_list, sizes, num_classes=k, bucket=bucket)
+        np.testing.assert_allclose(bucketed["mIOU_gt"], exact["mIOU_gt"], atol=1e-9), bucket
