@@ -153,18 +153,29 @@ class HashTokenizer:
         return out
 
 
-_tokenizer = None
+_tokenizers: dict = {}
 
 
 def get_tokenizer(bpe_path: Optional[str] = None):
-    global _tokenizer
-    if _tokenizer is None:
-        path = bpe_path or os.environ.get("LC2IS_BPE_PATH")
-        if path and os.path.exists(path):
-            _tokenizer = CLIPBPETokenizer(path)
+    path = bpe_path or os.environ.get("LC2IS_BPE_PATH")
+    if not (path and os.path.exists(path)):
+        path = None
+    if path not in _tokenizers:
+        if path is not None:
+            _tokenizers[path] = CLIPBPETokenizer(path)
         else:
-            _tokenizer = HashTokenizer()
-    return _tokenizer
+            import warnings
+
+            warnings.warn(
+                "lc2is_tpu: no CLIP merges file found (set LC2IS_BPE_PATH); using the "
+                "hash-fallback tokenizer. Shapes/specials match CLIP but token IDS DO "
+                "NOT — text embeddings will not be parity with reference checkpoints "
+                "(model/final.py:100 tokenizes with the real CLIP BPE).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            _tokenizers[path] = HashTokenizer()
+    return _tokenizers[path]
 
 
 def tokenize(

@@ -1,6 +1,8 @@
 """Tokenizer contract tests (offline fallback path; the real BPE loads when
 LC2IS_BPE_PATH points at a CLIP merges file)."""
 
+import os
+
 import numpy as np
 
 from lc2is_tpu.ops.bpe import EOT, SOT, bytes_to_unicode, tokenize, tokenize_batch_padded
@@ -44,3 +46,104 @@ def test_bytes_to_unicode_bijection():
     m = bytes_to_unicode()
     assert len(m) == 256
     assert len(set(m.values())) == 256
+
+
+# ---------------------------------------------------------------------------
+# HF CLIPTokenizer cross-checks (VERDICT r1 item 7).  transformers is local;
+# the REAL 16e6 merges file is not shippable offline, so two layers:
+#  - algorithm parity against HF on a synthetic vocab/merges pair built in
+#    OpenAI's derivation order (always runs);
+#  - id parity against HF on the real vocab (runs when LC2IS_BPE_PATH or a
+#    cached HF tokenizer exists).
+# ---------------------------------------------------------------------------
+
+def _write_synthetic_clip_vocab(tmp_path):
+    """Vocab+merges in OpenAI CLIP's derivation order: 256 byte symbols,
+    their </w> forms, one token per merge, then the two specials — exactly
+    how CLIPBPETokenizer derives ids from a merges file."""
+    import json
+
+    from lc2is_tpu.ops.bpe import bytes_to_unicode
+
+    merges = [
+        ("t", "h"), ("th", "e</w>"), ("a", "n"), ("an", "d</w>"),
+        ("i", "n"), ("in", "g</w>"), ("w", "a"), ("wa", "l"), ("wal", "l</w>"),
+        ("s", "k"), ("sk", "y</w>"), ("r", "o"), ("ro", "a"), ("roa", "d</w>"),
+        ("p", "h"), ("ph", "o"), ("pho", "t"), ("phot", "o</w>"),
+        ("t", "r"), ("tr", "e"), ("tre", "e</w>"), ("o", "f</w>"), ("a</w>",),
+    ]
+    merges = [m for m in merges if len(m) == 2]
+    vocab = list(bytes_to_unicode().values())
+    vocab = vocab + [v + "</w>" for v in vocab]
+    for m in merges:
+        vocab.append("".join(m))
+    vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+
+    merges_file = tmp_path / "merges.txt"
+    merges_file.write_text("#version: 0.2\n" + "\n".join(" ".join(m) for m in merges) + "\n")
+    vocab_file = tmp_path / "vocab.json"
+    vocab_file.write_text(json.dumps({v: i for i, v in enumerate(vocab)}))
+    return str(vocab_file), str(merges_file)
+
+
+def test_bpe_algorithm_matches_hf_clip_tokenizer(tmp_path):
+    """CLIPBPETokenizer must produce HF CLIPTokenizer's ids from the same
+    merges file (same byte encoder, word splitting, merge order, </w>)."""
+    from transformers import CLIPTokenizer
+
+    from lc2is_tpu.ops.bpe import CLIPBPETokenizer
+
+    vocab_file, merges_file = _write_synthetic_clip_vocab(tmp_path)
+    hf = CLIPTokenizer(vocab_file, merges_file)
+    ours = CLIPBPETokenizer(merges_file)
+
+    texts = [
+        "the wall and the sky", "a photo of a tree", "road", "walking along",
+        "The Wall", "  spaced   out  ", "unseenword", "skys the roads",
+    ]
+    for t in texts:
+        hf_ids = hf(t)["input_ids"][1:-1]  # strip HF's SOT/EOT
+        assert ours.encode(t) == hf_ids, (t, ours.encode(t), hf_ids)
+
+
+def test_real_vocab_id_parity_if_available():
+    """When a real CLIP merges file is present, our ids must equal HF's
+    openai/clip-vit-base-patch16 tokenizer ids (gated: zero-egress envs
+    without the asset skip)."""
+    import pytest
+
+    path = os.environ.get("LC2IS_BPE_PATH")
+    if not (path and os.path.exists(path)):
+        pytest.skip("no real CLIP merges file (LC2IS_BPE_PATH unset)")
+    try:
+        from transformers import CLIPTokenizerFast
+
+        hf = CLIPTokenizerFast.from_pretrained("openai/clip-vit-base-patch16")
+    except Exception:
+        pytest.skip("HF tokenizer not constructible locally (no cache, no network)")
+
+    from lc2is_tpu.ops.bpe import tokenize
+
+    texts = ["a photo of a wall", "sky", "traffic light, street sign"]
+    ours = tokenize(texts, context_length=77, bpe_path=path)
+    theirs = hf(texts, padding="max_length", max_length=77)["input_ids"]
+    assert ours.tolist() == [list(t) for t in theirs]
+
+
+def test_hash_fallback_warns_once():
+    """The offline fallback must announce itself (VERDICT r1: tokenizer
+    honesty) — ids are NOT CLIP ids."""
+    import warnings
+
+    import lc2is_tpu.ops.bpe as bpe
+
+    bpe._tokenizers.pop(None, None)  # reset the cached fallback
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        env_path = os.environ.pop("LC2IS_BPE_PATH", None)
+        try:
+            bpe.get_tokenizer()
+        finally:
+            if env_path is not None:
+                os.environ["LC2IS_BPE_PATH"] = env_path
+    assert any("hash-fallback" in str(x.message) for x in w)
