@@ -40,6 +40,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="Mixed precision (bf16 on TPU)")
     p.add_argument("--max_epoch", type=int, default=1, help="Maximum train epoch")
     p.add_argument("--max_steps", type=int, default=None, help="Maximum train steps")
+    p.add_argument("--exact_steps", action="store_true",
+                   help="run exactly max_steps (skip the reference's "
+                        "max(steps_in_epoch*max_epoch, max_steps) quirk)")
     p.add_argument("--log_step", type=int, default=None)
     p.add_argument("--eval_step", type=int, default=None)
     p.add_argument("--save_step", type=int, default=None)

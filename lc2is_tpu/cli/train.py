@@ -29,6 +29,7 @@ def main(argv=None):
         eval_loader=eval_loader,
         max_epoch=args.max_epoch,
         max_steps=args.max_steps,
+        exact_steps=args.exact_steps,
         eval_step=args.eval_step,
         log_step=args.log_step,
         save_step=args.save_step,

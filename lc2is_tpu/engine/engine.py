@@ -63,6 +63,7 @@ class Engine:
         compute_metrics: Optional[Callable] = None,
         max_epoch: int = 1,
         max_steps: Optional[int] = None,
+        exact_steps: bool = False,  # escape hatch for the reference quirk below
         eval_step: Optional[int] = None,
         log_step: Optional[int] = None,
         save_step: Optional[int] = None,
@@ -100,7 +101,11 @@ class Engine:
         self.rng = jax.random.PRNGKey(seed)
 
         self.steps_in_epoch = len(train_loader) if train_loader is not None else 0
-        if max_steps is not None:
+        if max_steps is not None and exact_steps:
+            # escape hatch: run exactly max_steps, ignoring the reference's
+            # max(steps_in_epoch*max_epoch, max_steps) quirk (engine.py:38-42)
+            self.train_steps = max_steps
+        elif max_steps is not None:
             self.train_steps = max(self.steps_in_epoch * max_epoch, max_steps)
         else:
             self.train_steps = self.steps_in_epoch * max_epoch
