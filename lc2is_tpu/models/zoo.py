@@ -475,7 +475,7 @@ class PromptSelfA(_PromptFinalBase):
 
     def __call__(self, inputs, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         v = self.vision_encoder(inputs["pixel_values"], deterministic)[:4]
-        t = self.prompt(v[2], deterministic)  # stage-3 visual context
+        t = self.prompt(v[2], deterministic).astype(v[-1].dtype)  # stage-3 visual context; bf16 compute path
         x = self.vision_decoder(v, deterministic)
         return dict(outputs=self._finish(x, t))
 
@@ -490,7 +490,7 @@ class PromptCrossA(_PromptFinalBase):
 
     def __call__(self, inputs, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         v = self.vision_encoder(inputs["pixel_values"], deterministic)[:4]
-        t = self.prompt(v[2], deterministic)
+        t = self.prompt(v[2], deterministic).astype(v[-1].dtype)
         x = self.vision_decoder(v, t, deterministic)
         return dict(outputs=self._finish(x, t))
 
@@ -513,7 +513,7 @@ class PromptAuxSelfA(_PromptFinalBase, _AuxMixin):
 
     def __call__(self, inputs, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         v = self.vision_encoder(inputs["pixel_values"], deterministic)[:4]
-        t = self.prompt(v[2], deterministic)
+        t = self.prompt(v[2], deterministic).astype(v[-1].dtype)
         low = self._aux_map(v[2], t)
         x = self.vision_decoder(v, deterministic)
         return dict(outputs=self._finish(x, t), low_score_map=low)
@@ -530,7 +530,7 @@ class PromptAuxCrossA(_PromptFinalBase, _AuxMixin):
 
     def __call__(self, inputs, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         v = self.vision_encoder(inputs["pixel_values"], deterministic)[:4]
-        t = self.prompt(v[2], deterministic)
+        t = self.prompt(v[2], deterministic).astype(v[-1].dtype)
         low = self._aux_map(v[2], t)
         x = self.vision_decoder(v, t, deterministic)
         return dict(outputs=self._finish(x, t), low_score_map=low)

@@ -98,6 +98,8 @@ class FTNBlock(nn.Module):
     def __call__(self, tgt, memory, deterministic: bool = True):
         h = _grid(tgt.shape[1])
         x = self.attention_block(tgt, memory, deterministic=deterministic)
+        if self.upsample == 1:
+            return x
         return resize_tokens(x, (h, h), scale_factor=self.upsample, method="bilinear")
 
 
@@ -120,9 +122,12 @@ class FTNDecoder(nn.Module):
         self.linear2_stage_4 = Linear(self.dim, **kw)
         blk = dict(d_model=self.dim, nhead=8, sr_ratio=2, dropout=self.dropout,
                    attn_impl=self.attn_impl, **kw)
-        self.attention_stage_2 = [FTNBlock(**blk, name="attention_stage_2_0")]
-        self.attention_stage_3 = [FTNBlock(**blk, name=f"attention_stage_3_{i}") for i in range(2)]
-        self.attention_stage_4 = [FTNBlock(**blk, name=f"attention_stage_4_{i}") for i in range(3)]
+        # final x2 of each stream deferred past the sum (see _HierarchicalBase)
+        self.attention_stage_2 = [FTNBlock(**blk, upsample=1, name="attention_stage_2_0")]
+        self.attention_stage_3 = [FTNBlock(**blk, upsample=1 if i == 1 else 2,
+                                           name=f"attention_stage_3_{i}") for i in range(2)]
+        self.attention_stage_4 = [FTNBlock(**blk, upsample=1 if i == 2 else 2,
+                                           name=f"attention_stage_4_{i}") for i in range(3)]
 
     def __call__(self, visual: List[jnp.ndarray], textual: jnp.ndarray, deterministic: bool = True):
         hs = [_grid(t.shape[1]) for t in visual]
@@ -146,7 +151,9 @@ class FTNDecoder(nn.Module):
         for mod in self.attention_stage_2:
             top_down_2 = mod(top_down_2, textual, deterministic)
 
-        return top_down_1 + top_down_2 + top_down_3 + top_down_4
+        s = top_down_2 + top_down_3 + top_down_4
+        h = _grid(s.shape[1])
+        return top_down_1 + resize_tokens(s, (h, h), scale_factor=2, method="bilinear")
 
 
 class SelfABlock(nn.Module):
@@ -176,6 +183,8 @@ class SelfABlock(nn.Module):
         for i in range(self.depth):
             layer = self.layers[0] if self.tie_weights else self.layers[i]
             x = layer(x, deterministic=deterministic)
+        if self.upsample == 1:
+            return x
         return resize_tokens(x, (h, h), scale_factor=self.upsample, method="bilinear")
 
 
@@ -205,6 +214,8 @@ class CrossABlock(nn.Module):
         for i in range(self.depth):
             layer = self.layers[0] if self.tie_weights else self.layers[i]
             x = layer(x, memory, deterministic=deterministic)
+        if self.upsample == 1:
+            return x
         return resize_tokens(x, (h, h), scale_factor=self.upsample, method="bilinear")
 
 
@@ -233,9 +244,18 @@ class _HierarchicalBase(nn.Module):
                    dropout=self.dropout, tie_weights=self.tie_block_weights,
                    attn_impl=self.attn_impl, **kw)
         cls = type(self)._block_cls
-        self.attention_stage_2 = [cls(**blk, depth=self.depth[0], name="attention_stage_2_0")]
-        self.attention_stage_3 = [cls(**blk, depth=self.depth[1], name=f"attention_stage_3_{i}") for i in range(2)]
-        self.attention_stage_4 = [cls(**blk, depth=self.depth[2], name=f"attention_stage_4_{i}") for i in range(3)]
+        # TPU optimisation: every stream's LAST block upsamples to the same
+        # stage-1 resolution, and the upsample is linear — so the final x2 is
+        # deferred past the stream sum (3 big upsamples -> 1; pure fp
+        # reassociation, parity-tested).  Last block gets upsample=1.
+        self.attention_stage_2 = [cls(**blk, depth=self.depth[0], upsample=1,
+                                      name="attention_stage_2_0")]
+        self.attention_stage_3 = [cls(**blk, depth=self.depth[1],
+                                      upsample=1 if i == 1 else 2,
+                                      name=f"attention_stage_3_{i}") for i in range(2)]
+        self.attention_stage_4 = [cls(**blk, depth=self.depth[2],
+                                      upsample=1 if i == 2 else 2,
+                                      name=f"attention_stage_4_{i}") for i in range(3)]
 
     def _top_down(self, visual):
         hs = [_grid(t.shape[1]) for t in visual]
@@ -266,7 +286,10 @@ class HierarchicalSelfA(_HierarchicalBase):
             t3 = mod(t3, deterministic)
         for mod in self.attention_stage_2:
             t2 = mod(t2, deterministic)
-        return t1 + t2 + t3 + t4
+        # streams summed at stage-2 resolution, single deferred x2 (linear)
+        s = t2 + t3 + t4
+        h = _grid(s.shape[1])
+        return t1 + resize_tokens(s, (h, h), scale_factor=2, method="bilinear")
 
 
 class HierarchicalCrossA(_HierarchicalBase):
@@ -282,7 +305,10 @@ class HierarchicalCrossA(_HierarchicalBase):
             t3 = mod(t3, textual, deterministic)
         for mod in self.attention_stage_2:
             t2 = mod(t2, textual, deterministic)
-        return t1 + t2 + t3 + t4
+        # streams summed at stage-2 resolution, single deferred x2 (linear)
+        s = t2 + t3 + t4
+        h = _grid(s.shape[1])
+        return t1 + resize_tokens(s, (h, h), scale_factor=2, method="bilinear")
 
 
 class RepeatTransformer(nn.Module):

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from lc2is_tpu.nn import init as tinit
 from lc2is_tpu.ops.attention import merge_heads, scaled_dot_product_attention, split_heads
+from lc2is_tpu.ops.dispatch import pallas_enabled, pallas_interpret
 
 
 class Linear(nn.Module):
@@ -38,12 +39,18 @@ class Linear(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
+        """``return_params=True`` creates/returns (weight, bias) without
+        computing — ``x`` (array or ShapeDtypeStruct) supplies in_features.
+        Used by the fused Pallas paths, which consume raw weights."""
         in_features = x.shape[-1]
         w = self.param("weight", tinit.torch_linear_weight, (self.out_features, in_features), self.param_dtype)
+        b = (self.param("bias", tinit.torch_linear_bias(in_features), (self.out_features,), self.param_dtype)
+             if self.use_bias else None)
+        if return_params:
+            return w, b
         y = x @ w.astype(x.dtype).T
-        if self.use_bias:
-            b = self.param("bias", tinit.torch_linear_bias(in_features), (self.out_features,), self.param_dtype)
+        if b is not None:
             y = y + b.astype(x.dtype)
         return y
 
@@ -53,10 +60,12 @@ class LayerNorm(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         dim = x.shape[-1]
         w = self.param("weight", tinit.ones, (dim,), self.param_dtype)
         b = self.param("bias", tinit.zeros, (dim,), self.param_dtype)
+        if return_params:
+            return w, b
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=-1, keepdims=True)
         var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
@@ -193,6 +202,33 @@ def _activation(name_or_fn) -> Callable:
     return {"relu": jax.nn.relu, "gelu": jax.nn.gelu}[name_or_fn]
 
 
+def _ff_res_norm(layer, x, norm, *, pre: bool, deterministic: bool):
+    """The FF half of a torch transformer layer — ``x + ff(norm(x))`` (pre)
+    or ``norm(x + ff(x))`` (post) — via the fused Pallas MLP kernel when the
+    dropouts are inactive, the unfused module composition otherwise."""
+    fusable = (
+        pallas_enabled(layer.attn_impl)
+        and isinstance(layer.activation, str)
+        and (deterministic or layer.dropout == 0.0)
+    )
+    if fusable:
+        from lc2is_tpu.ops.fused_mlp import fused_mlp
+
+        ln_w, ln_b = norm(x, return_params=True)
+        w1, b1 = layer.linear1(x, return_params=True)
+        w2, b2 = layer.linear2(
+            jax.ShapeDtypeStruct((layer.dim_feedforward,), x.dtype), return_params=True
+        )
+        return fused_mlp(
+            x, ln_w, ln_b, w1, b1, w2, b2, activation=layer.activation,
+            ln_position="pre" if pre else "post", eps=layer.layer_norm_eps,
+            interpret=pallas_interpret(),
+        )
+    if pre:
+        return x + layer._ff_block(norm(x), deterministic)
+    return norm(x + layer._ff_block(x, deterministic))
+
+
 class TransformerEncoderLayer(nn.Module):
     """torch ``nn.TransformerEncoderLayer`` (batch_first)."""
 
@@ -232,10 +268,10 @@ class TransformerEncoderLayer(nn.Module):
         x = src
         if self.norm_first:
             x = x + self._sa_block(self.norm1(x), src_mask, src_key_padding_mask, deterministic)
-            x = x + self._ff_block(self.norm2(x), deterministic)
+            x = _ff_res_norm(self, x, self.norm2, pre=True, deterministic=deterministic)
         else:
             x = self.norm1(x + self._sa_block(x, src_mask, src_key_padding_mask, deterministic))
-            x = self.norm2(x + self._ff_block(x, deterministic))
+            x = _ff_res_norm(self, x, self.norm2, pre=False, deterministic=deterministic)
         return x
 
 
@@ -299,11 +335,11 @@ class TransformerDecoderLayer(nn.Module):
         if self.norm_first:
             x = x + self._sa_block(self.norm1(x), tgt_mask, tgt_key_padding_mask, deterministic)
             x = x + self._mha_block(self.norm2(x), memory, memory_mask, memory_key_padding_mask, deterministic)
-            x = x + self._ff_block(self.norm3(x), deterministic)
+            x = _ff_res_norm(self, x, self.norm3, pre=True, deterministic=deterministic)
         else:
             x = self.norm1(x + self._sa_block(x, tgt_mask, tgt_key_padding_mask, deterministic))
             x = self.norm2(x + self._mha_block(x, memory, memory_mask, memory_key_padding_mask, deterministic))
-            x = self.norm3(x + self._ff_block(x, deterministic))
+            x = _ff_res_norm(self, x, self.norm3, pre=False, deterministic=deterministic)
         return x
 
 

@@ -34,6 +34,7 @@ import numpy as np
 
 from lc2is_tpu.nn import init as tinit
 from lc2is_tpu.nn.layers import LayerNorm, Linear
+from lc2is_tpu.ops.dispatch import pallas_enabled, pallas_interpret
 
 
 @functools.lru_cache(maxsize=32)
@@ -121,14 +122,14 @@ class SwinSelfAttention(nn.Module):
         bias = self.relative_position_bias_table[idx.reshape(-1)]
         bias = bias.reshape(p, p, hds).transpose(2, 0, 1).astype(jnp.float32)  # (H, w², w²)
 
-        use_kernel = self.attn_impl != "xla" and jax.default_backend() != "cpu"
-        if use_kernel:
+        if pallas_enabled(self.attn_impl):
             from lc2is_tpu.ops.window_attention import region_labels, window_attention
 
             nW = (hp // win) * (wp // win) if shift else 1
             regions = region_labels(bnw // max(nW, 1), hp, wp, win, shift) if shift else None
             return window_attention(
-                self.query(x), self.key(x), self.value(x), bias, regions, hds
+                self.query(x), self.key(x), self.value(x), bias, regions, hds,
+                interpret=pallas_interpret(),
             )
 
         def heads(t):
@@ -196,7 +197,9 @@ class SwinIntermediate(nn.Module):
     def setup(self):
         self.dense = Linear(self.dim, param_dtype=self.param_dtype)
 
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
+        if return_params:
+            return self.dense(x, return_params=True)
         return jax.nn.gelu(self.dense(x), approximate=False)
 
 
@@ -207,8 +210,8 @@ class SwinOutput(nn.Module):
     def setup(self):
         self.dense = Linear(self.dim, param_dtype=self.param_dtype)
 
-    def __call__(self, x):
-        return self.dense(x)
+    def __call__(self, x, return_params: bool = False):
+        return self.dense(x, return_params=return_params)
 
 
 class SwinBlock(nn.Module):
@@ -263,6 +266,15 @@ class SwinBlock(nn.Module):
         x = x.reshape(b, p, c)
         x = shortcut + self._drop_path(x, deterministic)
 
+        if pallas_enabled(self.attn_impl) and (deterministic or self.drop_path == 0.0):
+            from lc2is_tpu.ops.fused_mlp import fused_mlp
+
+            ln_w, ln_b = self.layernorm_after(x, return_params=True)
+            w1, b1 = self.intermediate(x, return_params=True)
+            ff_dim = int(self.dim * self.mlp_ratio)
+            w2, b2 = self.output(jax.ShapeDtypeStruct((ff_dim,), x.dtype), return_params=True)
+            return fused_mlp(x, ln_w, ln_b, w1, b1, w2, b2, activation="gelu",
+                             ln_position="pre", interpret=pallas_interpret())
         y = self.output(self.intermediate(self.layernorm_after(x)))
         return x + self._drop_path(y, deterministic)
 

@@ -295,12 +295,30 @@ def resize_tokens(
 
     Replaces the reference's rearrange->interpolate->rearrange dance
     (e.g. ``model/hierarchical.py:42-48``) without materialising NCHW.
+
+    Integer-factor bilinear upsampling (the models' x2/x4 block upsamples)
+    uses a channels-last phase-interleave path: measured 131 GB/s for the
+    NCHW-matmul route at 64²→128²/512ch vs streaming-rate VPU blends here.
     """
     b, p, c = tokens.shape
     h, w = grid_hw
     assert h * w == p, (h, w, p)
+    if (
+        method == "bilinear"
+        and size is None
+        and scale_factor is not None
+        and float(scale_factor).is_integer()
+        and scale_factor >= 2
+    ):
+        from lc2is_tpu.ops.dispatch import pallas_enabled, pallas_interpret
+
+        if pallas_enabled("auto"):
+            from lc2is_tpu.ops.upsample import upsample_tokens
+
+            return upsample_tokens(tokens, (h, w), int(scale_factor),
+                                   interpret=pallas_interpret())
+    # general sizes: matrix path on the last two axes
     x = tokens.reshape(b, h, w, c)
-    # operate on (B, C_last) layout: resize axes 1,2 by moving them last
     x = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
     y = resize(x, size=size, scale_factor=scale_factor, method=method)
     y = jnp.moveaxis(y, 1, -1)

@@ -1,0 +1,160 @@
+"""Channels-last integer-factor bilinear upsample as a Pallas kernel.
+
+The decoder pyramids upsample (B, H·W, C) token grids ×2 after every block
+(``model/hierarchical.py:148``, ``model/decoder.py:109``).  Measured on v5e
+at 64²→128²/512ch/batch16 every XLA formulation runs at ~100 GB/s effective
+(NCHW matmul 5.5 ms, channels-last einsum 5.3 ms, phase-interleave 8 ms —
+all dominated by materialised transposes/concats).  This kernel streams the
+grid once per (batch, row-block) step: the 1-row halo comes from passing the
+row-blocked input three times (prev/cur/next block index maps — auto-
+pipelined by Mosaic, no manual DMA), W is widened with one small MXU matmul
+per row (the exact torch [out,in] bilinear matrix), and the H phases are
+VPU blends with static row indexing.  HBM traffic ≈ 3·in + out.
+
+Semantics are identical to ops.resize torch-bilinear (half-pixel, integer
+factor r: out r·i+m takes taps (m+0.5)/r − 0.5 from rows i−1/i/i+1, edges
+clamped).  Backward = XLA-recompute custom VJP (the op is linear).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _phase_weights(r: int):
+    """[(use_prev, w_other, w_cur)] per phase m: out r·i+m = w_other·x[i∓1] + w_cur·x[i]."""
+    out = []
+    for m in range(r):
+        off = (m + 0.5) / r - 0.5
+        if off < 0:
+            out.append((True, -off, 1.0 + off))
+        else:
+            out.append((False, off, 1.0 - off))
+    return out
+
+
+def _kernel(prv_ref, cur_ref, nxt_ref, wmat_ref, o_ref, wide, *, hb, w, r):
+    """Per (batch, row-block) step: widen W with one small MXU matmul per
+    row (exact torch taps), then blend H phases on the VPU with static row
+    indexing; the 1-row halo comes from the prev/next block inputs."""
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    wmat = wmat_ref[...]
+
+    def widen(row):  # (W, C) -> (rW, C)
+        return jax.lax.dot_general(
+            wmat, row, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(wide.dtype)
+
+    # wide[0] = row above the block, wide[1..hb] = block rows, wide[hb+1] = below
+    for j in range(hb):
+        wide[1 + j] = widen(cur_ref[0, j * w : (j + 1) * w])
+    wide[0] = widen(prv_ref[0, (hb - 1) * w : hb * w])
+    wide[hb + 1] = widen(nxt_ref[0, :w])
+
+    @pl.when(i == 0)  # image edge: row above row 0 is row 0
+    def _():
+        wide[0] = wide[1]
+
+    @pl.when(i == n_i - 1)
+    def _():
+        wide[hb + 1] = wide[hb]
+
+    for j in range(hb):
+        cur = wide[1 + j].astype(jnp.float32)
+        prev = wide[j].astype(jnp.float32)
+        nxt = wide[2 + j].astype(jnp.float32)
+        for m, (use_prev, w_o, w_c) in enumerate(_phase_weights(r)):
+            other = prev if use_prev else nxt
+            o_ref[0, (r * j + m) * r * w : (r * j + m + 1) * r * w] = (
+                w_o * other + w_c * cur
+            ).astype(o_ref.dtype)
+
+
+def _xla_reference(x, grid_hw, r):
+    """Matrix-path reference (differentiable, defines the VJP)."""
+    from lc2is_tpu.ops.resize import resize
+
+    b, p, c = x.shape
+    h, w = grid_hw
+    nchw = jnp.moveaxis(x.reshape(b, h, w, c), -1, 1)
+    y = resize(nchw, scale_factor=float(r), method="bilinear")
+    return jnp.moveaxis(y, 1, -1).reshape(b, h * r * w * r, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _upsample_vjp(x, grid_hw, r, interpret):
+    return _fwd_impl(x, grid_hw, r, interpret)
+
+
+def _vjp_fwd(x, grid_hw, r, interpret):
+    return _upsample_vjp(x, grid_hw, r, interpret), (x,)
+
+
+def _vjp_bwd(grid_hw, r, interpret, res, g):
+    (x,) = res
+    _, vjp = jax.vjp(lambda v: _xla_reference(v, grid_hw, r), x)
+    return vjp(g)
+
+
+_upsample_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _fwd_impl(x, grid_hw, r, interpret):
+    from lc2is_tpu.ops.resize import _torch_resize_matrix_jnp
+
+    b, p, c = x.shape
+    h, w = grid_hw
+
+    # hb: rows per block, VMEM-adaptive (3 input blocks double-buffered +
+    # wide scratch + double-buffered out must stay well under the 16 MB limit)
+    it = jnp.dtype(x.dtype).itemsize
+    hb = 8
+    while h % hb:
+        hb //= 2
+    while hb > 1:
+        vmem = (3 * 2 * hb * w * c + (hb + 2) * r * w * c
+                + 2 * r * r * hb * w * c + r * w * w) * it
+        if vmem <= 12 * 1024 * 1024:
+            break
+        hb //= 2
+    n_blocks = h // hb
+
+    wm = _torch_resize_matrix_jnp(w, r * w, "bilinear", 1.0 / r, x.dtype)
+
+    blk = (1, hb * w, c)
+    out = pl.pallas_call(
+        functools.partial(_kernel, hb=hb, w=w, r=r),
+        grid=(b, n_blocks),
+        in_specs=[
+            pl.BlockSpec(blk, lambda bb, ii: (bb, jnp.maximum(ii - 1, 0), 0)),
+            pl.BlockSpec(blk, lambda bb, ii: (bb, ii, 0)),
+            pl.BlockSpec(blk, lambda bb, ii, nb=n_blocks: (bb, jnp.minimum(ii + 1, nb - 1), 0)),
+            pl.BlockSpec((r * w, w), lambda bb, ii: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, r * hb * r * w, c), lambda bb, ii: (bb, ii, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, r * h * r * w, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hb + 2, r * w, c), x.dtype),
+        ],
+        interpret=interpret,
+    )(x, x, x, wm)
+    return out
+
+
+def upsample_tokens(
+    x: jnp.ndarray,  # (B, H*W, C)
+    grid_hw: Tuple[int, int],
+    r: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, H·W, C) -> (B, rH·rW, C), torch-bilinear half-pixel semantics."""
+    assert r >= 2 and int(r) == r
+    return _upsample_vjp(x, tuple(grid_hw), int(r), interpret)

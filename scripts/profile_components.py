@@ -1,0 +1,198 @@
+"""Per-component TPU timing for the flagship PromptAuxCrossA pipeline.
+
+Each invocation profiles ONE part in its own process (the axon remote-compile
+relay rejects several large payloads per process — CLAUDE.md):
+
+    python scripts/profile_components.py swin|decoder|text|head|full
+
+Synthetic inputs at the canonical bench shape (batch 16, 512², bf16,
+swin-small dims).  Prints one JSON line with step_ms, gflops (XLA cost
+analysis), and the implied TFLOP/s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BATCH = 16
+IMG = 512
+ITERS = 8
+
+
+def materialize(shapes):
+    import jax
+    import jax.numpy as jnp
+
+    counter = [0]
+
+    def mk(s):
+        counter[0] += 1
+        r = np.random.RandomState(counter[0])
+        return jnp.asarray(0.02 * r.randn(*s.shape), dtype=s.dtype)
+
+    return jax.tree_util.tree_map(mk, shapes)
+
+
+def build(part):
+    import jax
+    import jax.numpy as jnp
+
+    from lc2is_tpu.models import zoo
+    from lc2is_tpu.nn.swin import SwinModel
+    from lc2is_tpu.nn.decoders import HierarchicalCrossA
+    from lc2is_tpu.ops.resize import resize
+
+    rng = np.random.RandomState(0)
+    bf = jnp.bfloat16
+
+    def t(*shape):
+        return jnp.asarray(rng.randn(*shape).astype(np.float32), dtype=bf)
+
+    if part == "swin":
+        model = SwinModel(dtype=bf)
+        x = t(BATCH, 3, IMG, IMG)
+        fn = lambda p, x: model.apply(p, x)[3]
+        return model.init, (x,), fn
+    if part == "decoder":
+        model = HierarchicalCrossA(in_dims=(96, 192, 384, 768), depth=(1, 1, 1), dim=512)
+        v = [t(BATCH, 16384, 96), t(BATCH, 4096, 192), t(BATCH, 1024, 384), t(BATCH, 256, 768)]
+        txt = t(BATCH, 151, 512)
+        fn = lambda p, *a: model.apply(p, list(a[:4]), a[4])
+        init = lambda key, *a: model.init(key, list(a[:4]), a[4])
+        return init, (*v, txt), fn
+    if part in ("srlayer", "srlayer_xla"):
+        from lc2is_tpu.nn.layers import SRTransformerDecoderLayer
+
+        impl = "xla" if part.endswith("xla") else "auto"
+        model = SRTransformerDecoderLayer(d_model=512, nhead=8, sr_ratio=2,
+                                          dropout=0.0, attn_impl=impl)
+        x = t(BATCH, 4096, 512)
+        mem = t(BATCH, 151, 512)
+        fn = lambda p, x, m: model.apply(p, x, m)
+        return model.init, (x, mem), fn
+    if part == "upsample":
+        from lc2is_tpu.ops.resize import resize_tokens
+
+        x = t(BATCH, 4096, 512)
+        fn = lambda x: resize_tokens(x, (64, 64), scale_factor=2, method="bilinear")
+        return None, (x,), fn
+    if part == "text":
+        from lc2is_tpu.models.zoo import PromptContextBase
+
+        model = PromptContextBase(
+            cfg=zoo.default_denseclip_cfg(),
+            class_names=tuple(f"thing {i}" for i in range(151)),
+            visual_dim=384,
+        )
+        v3 = t(BATCH, 1024, 384)
+        fn = lambda p, x: model.apply(p, x)
+        return model.init, (v3,), fn
+    if part == "head":
+        from lc2is_tpu.models.zoo import _score_map
+
+        x = t(BATCH, 16384, 512)
+        txt = t(BATCH, 151, 512)
+
+        def fn(x, txt):
+            sm = _score_map(x, txt, 128)
+            up = resize(sm, scale_factor=4, method="bilinear")
+            return jnp.argmax(up, axis=1)
+
+        return None, (x, txt), fn
+    if part == "full":
+        model = zoo.PromptAuxCrossA(
+            class_names=tuple(f"thing {i}" for i in range(151)), dtype=bf
+        )
+        x = t(BATCH, 3, IMG, IMG)
+        fn = lambda p, x: jnp.argmax(model.apply(p, {"pixel_values": x})["outputs"], axis=1)
+        init = lambda key, x: model.init(key, {"pixel_values": x})
+        return init, (x,), fn
+    raise SystemExit(f"unknown part {part}")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    part = sys.argv[1]
+    init, args, fn = build(part)
+
+    # params go through as jit ARGS — closing over them embeds every weight
+    # as a multi-MB dense literal and blows the relay payload limit
+    if init is not None:
+        shapes = jax.eval_shape(init, jax.random.PRNGKey(0),
+                                *jax.tree_util.tree_map(lambda a: a[:1], args))
+        params = materialize(shapes)
+        step_fn = lambda p, eps, *a: (
+            jnp.asarray(fn(p, *(x + eps.astype(x.dtype) for x in a)),
+                        jnp.float32).mean() * jnp.asarray(1e-8, jnp.float32)
+        )
+    else:
+        params = {}
+        step_fn = lambda p, eps, *a: (
+            jnp.asarray(fn(*(x + eps.astype(x.dtype) for x in a)),
+                        jnp.float32).mean() * jnp.asarray(1e-8, jnp.float32)
+        )
+
+    eps0 = jnp.asarray(0.0, jnp.float32)
+    compiled = jax.jit(step_fn).lower(params, eps0, *args).compile()
+    try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost.get("flops", 0.0))
+        hbm_bytes = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        flops, hbm_bytes = 0.0, 0.0
+
+    def chain():
+        eps = eps0
+        for _ in range(ITERS):
+            eps = compiled(params, eps, *args)
+        return float(eps)
+
+    chain()
+    t0 = time.perf_counter()
+    chain()
+    dt = (time.perf_counter() - t0) / ITERS
+
+    # calibrate the axon tunnel's per-call dispatch overhead (~3.4 ms) with a
+    # trivial chained op and subtract it — without this every micro-benchmark
+    # is dominated by the relay round-trip, not device time
+    def tiny(eps):
+        return eps * jnp.asarray(1.0000001, jnp.float32) + jnp.asarray(1e-20, jnp.float32)
+
+    tinyc = jax.jit(tiny).lower(eps0).compile()
+
+    def tiny_chain():
+        eps = eps0
+        for _ in range(ITERS):
+            eps = tinyc(eps)
+        return float(eps)
+
+    tiny_chain()
+    t0 = time.perf_counter()
+    tiny_chain()
+    overhead = (time.perf_counter() - t0) / ITERS
+    dt = max(dt - overhead, 1e-9)
+
+    print(json.dumps({
+        "part": part,
+        "tunnel_ms": round(overhead * 1e3, 2),
+        "step_ms": round(dt * 1e3, 2),
+        "gflops": round(flops / 1e9, 1),
+        "tflops_s": round(flops / dt / 1e12, 1),
+        "hbm_gb": round(hbm_bytes / 1e9, 2),
+        "hbm_gb_s": round(hbm_bytes / dt / 1e9, 1),
+        "img_s": round(BATCH / dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""The fused Pallas module paths (LC2IS_PALLAS_INTERPRET=1) must reproduce
+the XLA module composition — same params, same numerics, full modules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lc2is_tpu.nn.layers import TransformerDecoderLayer, TransformerEncoderLayer
+from lc2is_tpu.nn.swin import SwinModel
+
+TINY_SWIN = dict(embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8), window=4)
+
+
+@pytest.fixture()
+def force_pallas(monkeypatch):
+    monkeypatch.setenv("LC2IS_PALLAS_INTERPRET", "1")
+
+
+def test_swin_fused_matches_xla(force_pallas):
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(2, 3, 64, 64), jnp.float32)
+    xla = SwinModel(attn_impl="xla", drop_path_rate=0.0, **TINY_SWIN)
+    fused = SwinModel(attn_impl="auto", drop_path_rate=0.0, **TINY_SWIN)
+    params = xla.init(jax.random.PRNGKey(0), x)
+    a = xla.apply(params, x)
+    b = fused.apply(params, x)
+    for ha, hb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("norm_first", [False, True])
+def test_decoder_layer_fused_matches_xla(force_pallas, norm_first):
+    r = np.random.RandomState(1)
+    tgt = jnp.asarray(r.randn(2, 36, 64), jnp.float32)
+    mem = jnp.asarray(r.randn(2, 7, 64), jnp.float32)
+    kw = dict(d_model=64, nhead=4, dim_feedforward=128, dropout=0.0,
+              norm_first=norm_first)
+    xla = TransformerDecoderLayer(attn_impl="xla", **kw)
+    fused = TransformerDecoderLayer(attn_impl="auto", **kw)
+    params = xla.init(jax.random.PRNGKey(0), tgt, mem)
+    a = xla.apply(params, tgt, mem)
+    b = fused.apply(params, tgt, mem)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_encoder_layer_fused_matches_xla(force_pallas):
+    r = np.random.RandomState(2)
+    src = jnp.asarray(r.randn(2, 50, 64), jnp.float32)
+    kw = dict(d_model=64, nhead=4, dim_feedforward=256, dropout=0.0)
+    xla = TransformerEncoderLayer(attn_impl="xla", **kw)
+    fused = TransformerEncoderLayer(attn_impl="auto", **kw)
+    params = xla.init(jax.random.PRNGKey(0), src)
+    a = xla.apply(params, src)
+    b = fused.apply(params, src)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_gate_keeps_param_tree_identical(force_pallas):
+    """init through the fused path must create the same param tree as the
+    XLA path (torch-name import depends on it)."""
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randn(1, 3, 32, 32), jnp.float32)
+    fused = SwinModel(attn_impl="auto", drop_path_rate=0.0, **TINY_SWIN)
+    xla = SwinModel(attn_impl="xla", drop_path_rate=0.0, **TINY_SWIN)
+    pf = jax.tree_util.tree_structure(fused.init(jax.random.PRNGKey(0), x))
+    px = jax.tree_util.tree_structure(xla.init(jax.random.PRNGKey(0), x))
+    assert pf == px

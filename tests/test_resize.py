@@ -117,3 +117,22 @@ def test_bf16_input_roundtrip(rng):
     assert y.dtype == jnp.bfloat16
     ref = F.interpolate(torch.from_numpy(x), scale_factor=4, mode="bicubic").numpy()
     assert np.abs(np.asarray(y, dtype=np.float32) - ref).max() < 0.05
+
+
+def test_resize_tokens_integer_upsample_fast_path_parity():
+    """The channels-last phase-interleave x2/x4 path must match the
+    [out,in]-matrix path (same torch half-pixel taps)."""
+    import jax.numpy as jnp
+    from lc2is_tpu.ops.resize import resize, resize_tokens
+
+    r = np.random.RandomState(0)
+    for factor in (2, 4):
+        for h, w, c in ((8, 8, 16), (7, 5, 8)):
+            x = jnp.asarray(r.randn(2, h * w, c).astype(np.float32))
+            got = resize_tokens(x, (h, w), scale_factor=factor, method="bilinear")
+            nchw = jnp.moveaxis(x.reshape(2, h, w, c), -1, 1)
+            want = jnp.moveaxis(
+                resize(nchw, scale_factor=factor, method="bilinear"), 1, -1
+            ).reshape(2, h * factor * w * factor, c)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)

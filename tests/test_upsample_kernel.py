@@ -1,0 +1,39 @@
+"""Pallas channels-last upsample kernel vs the matrix path (interpret)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lc2is_tpu.ops.upsample import upsample_tokens, _xla_reference
+
+
+@pytest.mark.parametrize("h,w,c,r", [(8, 8, 16, 2), (16, 8, 32, 2), (4, 4, 8, 4),
+                                     (32, 32, 24, 2), (6, 6, 8, 2)])
+def test_upsample_kernel_parity(h, w, c, r):
+    rs = np.random.RandomState(h * w + c + r)
+    x = jnp.asarray(rs.randn(2, h * w, c).astype(np.float32))
+    got = np.asarray(upsample_tokens(x, (h, w), r, interpret=True))
+    want = np.asarray(_xla_reference(x, (h, w), r))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_kernel_grad_is_linear_transpose():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(1, 64, 8).astype(np.float32))
+    g = jnp.asarray(rs.randn(1, 256, 8).astype(np.float32))
+    _, vjp = jax.vjp(lambda v: upsample_tokens(v, (8, 8), 2, interpret=True), x)
+    _, vjp_ref = jax.vjp(lambda v: _xla_reference(v, (8, 8), 2), x)
+    np.testing.assert_allclose(np.asarray(vjp(g)[0]), np.asarray(vjp_ref(g)[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_resize_tokens_routes_to_kernel(monkeypatch):
+    monkeypatch.setenv("LC2IS_PALLAS_INTERPRET", "1")
+    from lc2is_tpu.ops.resize import resize_tokens
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 64, 8).astype(np.float32))
+    got = np.asarray(resize_tokens(x, (8, 8), scale_factor=2, method="bilinear"))
+    want = np.asarray(_xla_reference(x, (8, 8), 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
