@@ -110,6 +110,23 @@ class SwinSelfAttention(nn.Module):
             "relative_position_bias_table", tinit.zeros, (n * n, self.num_heads), self.param_dtype
         )
 
+    def _bias(self, eff_window: Optional[int]):
+        win = eff_window or self.window
+        p = win * win
+        idx = _relative_position_index(win, self.window)
+        bias = self.relative_position_bias_table[idx.reshape(-1)]
+        return bias.reshape(p, p, self.num_heads).transpose(2, 0, 1).astype(jnp.float32)
+
+    def fused_inputs(self, x, eff_window: Optional[int] = None):
+        """(wqkv, bqkv, bias) for ops.window_attention.fused_window_block —
+        params identical to the unfused path (plain packing, no transforms)."""
+        wq, bq = self.query(x, return_params=True)
+        wk, bk = self.key(x, return_params=True)
+        wv, bv = self.value(x, return_params=True)
+        return (jnp.concatenate([wq, wk, wv], axis=0),
+                jnp.concatenate([bq, bk, bv], axis=0),
+                self._bias(eff_window))
+
     def __call__(self, x, shift_info=None, eff_window: Optional[int] = None):
         """x: (BnW, w², C); shift_info: (hp, wp, win, shift) of the padded
         canvas (shift=0 → no region masking)."""
@@ -118,9 +135,7 @@ class SwinSelfAttention(nn.Module):
         dh = c // hds
         hp, wp, win, shift = shift_info if shift_info is not None else (0, 0, self.window, 0)
 
-        idx = _relative_position_index(eff_window or self.window, self.window)
-        bias = self.relative_position_bias_table[idx.reshape(-1)]
-        bias = bias.reshape(p, p, hds).transpose(2, 0, 1).astype(jnp.float32)  # (H, w², w²)
+        bias = self._bias(eff_window)  # (H, w², w²)
 
         if pallas_enabled(self.attn_impl):
             from lc2is_tpu.ops.window_attention import region_labels, window_attention
@@ -175,6 +190,11 @@ class SwinAttention(nn.Module):
         )
         self.output = SwinSelfOutput(self.dim, param_dtype=self.param_dtype)
 
+    def fused_inputs(self, x, eff_window=None):
+        wqkv, bqkv, bias = self.self_.fused_inputs(x, eff_window)
+        wo, bo = self.output(x, return_params=True)
+        return wqkv, bqkv, wo, bo, bias
+
     def __call__(self, x, shift_info=None, eff_window=None):
         return self.output(self.self_(x, shift_info, eff_window))
 
@@ -186,8 +206,8 @@ class SwinSelfOutput(nn.Module):
     def setup(self):
         self.dense = Linear(self.dim, param_dtype=self.param_dtype)
 
-    def __call__(self, x):
-        return self.dense(x)
+    def __call__(self, x, return_params: bool = False):
+        return self.dense(x, return_params=return_params)
 
 
 class SwinIntermediate(nn.Module):
@@ -246,8 +266,11 @@ class SwinBlock(nn.Module):
         shift = self.shift if min(h, w) > self.window else 0
         win = min(win, h, w)  # HF: window_size = min(input_resolution) if smaller
 
+        fuse_attn = pallas_enabled(self.attn_impl) and (deterministic or self.drop_path == 0.0)
+
         shortcut = x
-        x = self.layernorm_before(x)
+        if not fuse_attn:
+            x = self.layernorm_before(x)
         x = x.reshape(b, h, w, c)
         pad_h = (win - h % win) % win
         pad_w = (win - w % win) % win
@@ -257,14 +280,53 @@ class SwinBlock(nn.Module):
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
         xw = window_partition(x, win)
-        aw = self.attention(xw, (hp, wp, win, shift), eff_window=win)
+        # merged attn+MLP kernel: measured slightly slower than the split
+        # kernels on v5e (VPU-serialized gelu outweighs the saved traffic);
+        # kept behind an env flag for experimentation
+        import os as _os
+
+        fuse_whole = (fuse_attn and c <= 512
+                      and _os.environ.get("LC2IS_SWIN_MERGED") == "1")
+        if fuse_attn:
+            # LN and the residual add commute with pad/roll/partition (LN is
+            # per-token; roll permutes tokens; padded tokens are cropped), so
+            # the whole attention half — and for C<=512 the MLP half too —
+            # runs as one fused kernel on raw x.
+            from lc2is_tpu.ops.window_attention import (
+                fused_swin_block, fused_window_block, region_labels)
+
+            ln_w, ln_b = self.layernorm_before(xw, return_params=True)
+            wqkv, bqkv, wo, bo, bias = self.attention.fused_inputs(xw, eff_window=win)
+            nW = (hp // win) * (wp // win) if shift else 1
+            regions = region_labels(xw.shape[0] // max(nW, 1), hp, wp, win, shift) if shift else None
+            if fuse_whole:
+                ln2_w, ln2_b = self.layernorm_after(xw, return_params=True)
+                w1, b1 = self.intermediate(xw, return_params=True)
+                ff_dim = int(self.dim * self.mlp_ratio)
+                w2, b2 = self.output(jax.ShapeDtypeStruct((ff_dim,), x.dtype),
+                                     return_params=True)
+                aw = fused_swin_block(
+                    xw, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
+                    w1, b1, w2, b2, bias, regions, self.num_heads,
+                    interpret=pallas_interpret(),
+                )
+            else:
+                aw = fused_window_block(
+                    xw, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, regions,
+                    self.num_heads, residual=True, interpret=pallas_interpret(),
+                )
+        else:
+            aw = self.attention(xw, (hp, wp, win, shift), eff_window=win)
         x = window_reverse(aw, win, hp, wp)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
         if pad_h or pad_w:
             x = x[:, :h, :w, :]
         x = x.reshape(b, p, c)
-        x = shortcut + self._drop_path(x, deterministic)
+        if fuse_whole:
+            return x  # attention + MLP both applied in the fused kernel
+        if not fuse_attn:
+            x = shortcut + self._drop_path(x, deterministic)
 
         if pallas_enabled(self.attn_impl) and (deterministic or self.drop_path == 0.0):
             from lc2is_tpu.ops.fused_mlp import fused_mlp

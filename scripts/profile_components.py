@@ -55,8 +55,14 @@ def build(part):
     def t(*shape):
         return jnp.asarray(rng.randn(*shape).astype(np.float32), dtype=bf)
 
-    if part == "swin":
-        model = SwinModel(dtype=bf)
+    if part.startswith("swin"):
+        # swin / swin_shallow3 (stage3 depth 2 instead of 18) / swin_xla
+        kw = {}
+        if part == "swin_shallow3":
+            kw = dict(depths=(2, 2, 2, 2))
+        if part == "swin_xla":
+            kw = dict(attn_impl="xla")
+        model = SwinModel(dtype=bf, **kw)
         x = t(BATCH, 3, IMG, IMG)
         fn = lambda p, x: model.apply(p, x)[3]
         return model.init, (x,), fn
