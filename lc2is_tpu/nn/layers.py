@@ -131,7 +131,34 @@ class MultiheadAttention(nn.Module):
     attn_impl: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        e = self.embed_dim
+        kdim = self.kdim if self.kdim is not None else e
+        vdim = self.vdim if self.vdim is not None else e
+        self._same = kdim == e and vdim == e
+        if self._same:
+            self.in_proj_weight = self.param(
+                "in_proj_weight", tinit.xavier_uniform, (3 * e, e), self.param_dtype)
+        else:
+            self.q_proj_weight = self.param("q_proj_weight", tinit.xavier_uniform, (e, e), self.param_dtype)
+            self.k_proj_weight = self.param("k_proj_weight", tinit.xavier_uniform, (e, kdim), self.param_dtype)
+            self.v_proj_weight = self.param("v_proj_weight", tinit.xavier_uniform, (e, vdim), self.param_dtype)
+        self.in_proj_bias = self.param("in_proj_bias", tinit.zeros, (3 * e,), self.param_dtype)
+        self.out_proj = OutProj(embed_dim=e, param_dtype=self.param_dtype)
+
+    def proj_weights(self, dt):
+        """(wq, wk, wv, bq, bk, bv) in ``dt`` — torch packed-QKV layout."""
+        e = self.embed_dim
+        if self._same:
+            w = self.in_proj_weight.astype(dt)
+            wq, wk, wv = w[:e], w[e : 2 * e], w[2 * e :]
+        else:
+            wq = self.q_proj_weight.astype(dt)
+            wk = self.k_proj_weight.astype(dt)
+            wv = self.v_proj_weight.astype(dt)
+        b = self.in_proj_bias.astype(dt)
+        return wq, wk, wv, b[:e], b[e : 2 * e], b[2 * e :]
+
     def __call__(
         self,
         query,
@@ -141,21 +168,8 @@ class MultiheadAttention(nn.Module):
         attn_mask=None,
         deterministic: bool = True,
     ):
-        e = self.embed_dim
-        kdim = self.kdim if self.kdim is not None else e
-        vdim = self.vdim if self.vdim is not None else e
-        same = kdim == e and vdim == e
         dt = query.dtype
-
-        if same:
-            w = self.param("in_proj_weight", tinit.xavier_uniform, (3 * e, e), self.param_dtype).astype(dt)
-            wq, wk, wv = w[:e], w[e : 2 * e], w[2 * e :]
-        else:
-            wq = self.param("q_proj_weight", tinit.xavier_uniform, (e, e), self.param_dtype).astype(dt)
-            wk = self.param("k_proj_weight", tinit.xavier_uniform, (e, kdim), self.param_dtype).astype(dt)
-            wv = self.param("v_proj_weight", tinit.xavier_uniform, (e, vdim), self.param_dtype).astype(dt)
-        b = self.param("in_proj_bias", tinit.zeros, (3 * e,), self.param_dtype).astype(dt)
-        bq, bk, bv = b[:e], b[e : 2 * e], b[2 * e :]
+        wq, wk, wv, bq, bk, bv = self.proj_weights(dt)
 
         q = query @ wq.T + bq
         k = key @ wk.T + bk
@@ -179,8 +193,7 @@ class MultiheadAttention(nn.Module):
             impl=self.attn_impl,
         )
         out = merge_heads(out)
-        out = OutProj(embed_dim=e, param_dtype=self.param_dtype, name="out_proj")(out)
-        return out
+        return self.out_proj(out)
 
 
 class OutProj(nn.Module):
@@ -190,9 +203,11 @@ class OutProj(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         w = self.param("weight", tinit.torch_linear_weight, (self.embed_dim, self.embed_dim), self.param_dtype)
         b = self.param("bias", tinit.zeros, (self.embed_dim,), self.param_dtype)
+        if return_params:
+            return w, b
         return x @ w.astype(x.dtype).T + b.astype(x.dtype)
 
 
@@ -264,8 +279,32 @@ class TransformerEncoderLayer(nn.Module):
         x = self.linear2(self.dropout_ff(act(self.linear1(x)), deterministic))
         return self.dropout2(x, deterministic)
 
+    def _sa_kv_source(self, x):
+        return x
+
+    def _fused_call(self, x, deterministic):
+        from lc2is_tpu.ops.attention_block import fused_attn_block
+
+        dt = x.dtype
+        src = self._sa_kv_source(x)
+        wq, wk, wv, bq, bk, bv = self.self_attn.proj_weights(dt)
+        wo, bo = self.self_attn.out_proj(x, return_params=True)
+        n1w, n1b = self.norm1(x, return_params=True)
+        x = fused_attn_block(
+            x, src @ wk.T + bk, src @ wv.T + bv, wq, bq, wo, bo, n1w, n1b,
+            self.nhead, eps=self.layer_norm_eps, interpret=pallas_interpret())
+        return _ff_res_norm(self, x, self.norm2, pre=False, deterministic=deterministic)
+
     def __call__(self, src, src_mask=None, src_key_padding_mask=None, deterministic: bool = True):
         x = src
+        if (
+            not self.norm_first
+            and pallas_enabled(self.attn_impl)
+            and (deterministic or self.dropout == 0.0)
+            and src_mask is None and src_key_padding_mask is None
+            and isinstance(self.activation, str)
+        ):
+            return self._fused_call(x, deterministic)
         if self.norm_first:
             x = x + self._sa_block(self.norm1(x), src_mask, src_key_padding_mask, deterministic)
             x = _ff_res_norm(self, x, self.norm2, pre=True, deterministic=deterministic)
@@ -321,6 +360,41 @@ class TransformerDecoderLayer(nn.Module):
         x = self.linear2(self.dropout_ff(act(self.linear1(x)), deterministic))
         return self.dropout3(x, deterministic)
 
+    def _sa_kv_source(self, x):
+        """K/V source of the self-attention (SR subclass reduces it)."""
+        return x
+
+    def _fused_call(self, x, memory, deterministic):
+        """Post-norm layer via fused Pallas blocks: each attention half is
+        q-proj+attn+proj+residual+LN in one kernel (K/V projected in XLA —
+        key sets are small), FF via the fused MLP kernel."""
+        from lc2is_tpu.ops.attention_block import fused_attn_block
+
+        dt = x.dtype
+        interp = pallas_interpret()
+        eps = self.layer_norm_eps
+
+        src = self._sa_kv_source(x)
+        wq, wk, wv, bq, bk, bv = self.self_attn.proj_weights(dt)
+        wo, bo = self.self_attn.out_proj(x, return_params=True)
+        n1w, n1b = self.norm1(x, return_params=True)
+        x = fused_attn_block(
+            x, src @ wk.T + bk, src @ wv.T + bv, wq, bq, wo, bo, n1w, n1b,
+            self.nhead, eps=eps, interpret=interp)
+
+        if self.d_kv in (None, self.d_model):
+            wq2, wk2, wv2, bq2, bk2, bv2 = self.multihead_attn.proj_weights(dt)
+            wo2, bo2 = self.multihead_attn.out_proj(x, return_params=True)
+            n2w, n2b = self.norm2(x, return_params=True)
+            mem = memory.astype(dt)
+            x = fused_attn_block(
+                x, mem @ wk2.T + bk2, mem @ wv2.T + bv2, wq2, bq2, wo2, bo2,
+                n2w, n2b, self.nhead, eps=eps, interpret=interp)
+        else:  # asymmetric kdim/vdim cross-attention stays on the XLA path
+            x = self.norm2(x + self._mha_block(x, memory, None, None, deterministic))
+
+        return _ff_res_norm(self, x, self.norm3, pre=False, deterministic=deterministic)
+
     def __call__(
         self,
         tgt,
@@ -331,6 +405,15 @@ class TransformerDecoderLayer(nn.Module):
         memory_key_padding_mask=None,
         deterministic: bool = True,
     ):
+        if (
+            not self.norm_first
+            and pallas_enabled(self.attn_impl)
+            and (deterministic or self.dropout == 0.0)
+            and tgt_mask is None and memory_mask is None
+            and tgt_key_padding_mask is None and memory_key_padding_mask is None
+            and isinstance(self.activation, str)
+        ):
+            return self._fused_call(tgt, memory, deterministic)
         x = tgt
         if self.norm_first:
             x = x + self._sa_block(self.norm1(x), tgt_mask, tgt_key_padding_mask, deterministic)
@@ -374,8 +457,11 @@ class SRTransformerEncoderLayer(TransformerEncoderLayer):
         if self.sr_ratio > 1:
             self.sr_reduce = SRReduce(self.d_model, self.sr_ratio, param_dtype=self.param_dtype)
 
+    def _sa_kv_source(self, x):
+        return self.sr_reduce(x) if self.sr_ratio > 1 else x
+
     def _sa_block(self, x, attn_mask, key_padding_mask, deterministic):
-        reduced = self.sr_reduce(x) if self.sr_ratio > 1 else x
+        reduced = self._sa_kv_source(x)
         y = self.self_attn(x, reduced, reduced, key_padding_mask=key_padding_mask, attn_mask=attn_mask, deterministic=deterministic)
         return self.dropout1(y, deterministic)
 
@@ -392,7 +478,10 @@ class SRTransformerDecoderLayer(TransformerDecoderLayer):
         if self.sr_ratio > 1:
             self.sr_reduce = SRReduce(self.d_model, self.sr_ratio, param_dtype=self.param_dtype)
 
+    def _sa_kv_source(self, x):
+        return self.sr_reduce(x) if self.sr_ratio > 1 else x
+
     def _sa_block(self, x, attn_mask, key_padding_mask, deterministic):
-        reduced = self.sr_reduce(x) if self.sr_ratio > 1 else x
+        reduced = self._sa_kv_source(x)
         y = self.self_attn(x, reduced, reduced, key_padding_mask=key_padding_mask, attn_mask=attn_mask, deterministic=deterministic)
         return self.dropout1(y, deterministic)
