@@ -45,7 +45,8 @@ def main():
     from lc2is_tpu.models import zoo
 
     class_names = tuple(f"thing {i}" for i in range(151))
-    model = zoo.PromptAuxCrossA(class_names=class_names, dtype=jnp.bfloat16)
+    model = zoo.PromptAuxCrossA(class_names=class_names, dtype=jnp.bfloat16,
+                                predict_masks=True)
 
     rng = np.random.RandomState(0)
     pv = jnp.asarray(rng.randn(BATCH, 3, IMG, IMG).astype(np.float32), dtype=jnp.bfloat16)
@@ -68,7 +69,7 @@ def main():
     # timing host-fetches a scalar at the end (see engine/tpu_bench.py).
     def step(p, x, eps):
         out = model.apply(p, {"pixel_values": x + eps.astype(x.dtype)})
-        pred = jnp.argmax(out["outputs"], axis=1)  # the served artifact
+        pred = out["outputs"]  # (B, 512, 512) int32 masks — the served artifact
         return pred.astype(jnp.float32).mean() * jnp.asarray(1e-8, jnp.float32)
 
     eps0 = jnp.asarray(0.0, jnp.float32)

@@ -386,6 +386,7 @@ class _FinalBase(nn.Module):
     attn_impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
     swin_cfg: Optional[Dict[str, Any]] = None  # override (tests/dryrun); default swin-small
+    predict_masks: bool = False  # serving: outputs = argmax masks, upsampled map never materialised
 
     @property
     def IN_DIMS(self):
@@ -406,6 +407,16 @@ class _FinalBase(nn.Module):
         p = v_tokens.shape[1]
         grid = int(round(p ** 0.5))
         score_map = _score_map(v_tokens, t, grid)
+        if self.predict_masks:
+            # serving fast path: fused upsample+argmax — bit-identical masks
+            # (first-occurrence ties), the (B,K,4H,4W) map is never written
+            from lc2is_tpu.ops.dispatch import pallas_enabled, pallas_interpret
+
+            if pallas_enabled(self.attn_impl):
+                from lc2is_tpu.ops.upsample_argmax import upsample_argmax
+
+                return upsample_argmax(score_map, r=4, interpret=pallas_interpret())
+            return jnp.argmax(resize(score_map, scale_factor=4, method="bilinear"), axis=1)
         return resize(score_map, scale_factor=4, method="bilinear")
 
 

@@ -109,6 +109,11 @@ def _vjp_fwd(x, k, v, wq, bq, wo, bo, ln_w, ln_b, num_heads, eps, post_ln,
 
 
 def _vjp_bwd(num_heads, eps, post_ln, block_q, interpret, res, g):
+    x, k, v, wq, bq, wo, bo, ln_w, ln_b = res
+    # fused Pallas backward when K/V fit VMEM alongside their accumulators
+    if k.shape[1] * k.shape[2] * 12 <= 8 * 1024 * 1024:
+        return _bwd_pallas(x, k, v, wq, bq, wo, bo, ln_w, ln_b, g,
+                           num_heads, eps, post_ln, interpret)
     _, vjp = jax.vjp(
         lambda *a: _xla_reference(*a, num_heads, eps, post_ln), *res)
     return vjp(g)
@@ -178,3 +183,195 @@ def fused_attn_block(
     """out = LN(x + proj(attn(q(x), k, v)))  (torch post-norm layer half)."""
     return _fused_attn_vjp(x, k, v, wq, bq, wo, bo, ln_w, ln_b,
                            num_heads, eps, post_ln, block_q, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused backward: recompute the forward in VMEM from (x, k, v, weights) per
+# query block, then walk the chain backwards.  dk/dv accumulate per batch
+# item in revisited output blocks (query-block grid dim iterates fastest);
+# weight/LN grads accumulate across the whole grid.
+# ---------------------------------------------------------------------------
+
+
+def _ln_bwd(dy, sf, w, eps):
+    c = sf.shape[-1]
+    mean = sf.mean(axis=-1, keepdims=True)
+    sc = sf - mean
+    var = (sc * sc).mean(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    shat = sc * rstd
+    dshat = dy * w
+    m1 = dshat.mean(axis=-1, keepdims=True)
+    m2 = (dshat * shat).mean(axis=-1, keepdims=True)
+    ds = (dshat - m1 - shat * m2) * rstd
+    return ds, dy * shat, dy
+
+
+def _bwd_kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wo_ref, bo_ref,
+                lnw_ref, lnb_ref, g_ref,
+                dx_ref, dk_ref, dv_ref, dwq_ref, dbq_ref, dwo_ref, dbo_ref,
+                dlnw_ref, dlnb_ref,
+                *, num_heads, scale, eps, post_ln):
+    bb = pl.program_id(0)
+    ii = pl.program_id(1)
+    t, c = x_ref.shape[1], x_ref.shape[2]
+    dh = c // num_heads
+
+    @pl.when(jnp.logical_and(bb == 0, ii == 0))
+    def _():
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dbq_ref[...] = jnp.zeros_like(dbq_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+        dlnw_ref[...] = jnp.zeros_like(dlnw_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+
+    @pl.when(ii == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    x = x_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    # ---- recompute forward ----
+    q = (jax.lax.dot_general(x, wq_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+         + bq_ref[...].astype(jnp.float32)).astype(x.dtype)
+
+    def head_probs(h):
+        sl = slice(h * dh, (h + 1) * dh)
+        logits = jax.lax.dot_general(q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        return e / jnp.sum(e, axis=-1, keepdims=True)
+
+    att_parts = []
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        att_parts.append(jax.lax.dot_general(
+            head_probs(h).astype(x.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype))
+    att = jnp.concatenate(att_parts, axis=-1)  # (T, C)
+    proj = jax.lax.dot_general(att, wo_ref[...], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    sf = proj + bo_ref[...].astype(jnp.float32) + x.astype(jnp.float32)
+
+    # ---- backward ----
+    gout = g_ref[0].astype(jnp.float32)
+    if post_ln:
+        ds, dw_rows, db_rows = _ln_bwd(gout, sf,
+                                       lnw_ref[...].astype(jnp.float32), eps)
+        dlnw_ref[...] += jnp.sum(dw_rows, axis=0, keepdims=True).astype(dlnw_ref.dtype)
+        dlnb_ref[...] += jnp.sum(db_rows, axis=0, keepdims=True).astype(dlnb_ref.dtype)
+    else:
+        ds = gout
+    dsb = ds.astype(x.dtype)
+    dwo_ref[...] += jax.lax.dot_general(dsb, att, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32
+                                        ).astype(dwo_ref.dtype)
+    dbo_ref[...] += jnp.sum(ds, axis=0, keepdims=True).astype(dbo_ref.dtype)
+    datt = jax.lax.dot_general(dsb, wo_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32).astype(x.dtype)
+
+    dqs = []
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        probs = head_probs(h)  # recomputed — keeping all heads' probs costs 8 MB VMEM
+        pb = probs.astype(x.dtype)
+        dah = datt[:, sl]
+        dprobs = jax.lax.dot_general(dah, v[:, sl], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        dv_ref[0, :, sl] += jax.lax.dot_general(
+            pb, dah, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dlog = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True))
+        dlogb = (dlog * scale).astype(x.dtype)
+        dqs.append(jax.lax.dot_general(dlogb, k[:, sl], (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+        dk_ref[0, :, sl] += jax.lax.dot_general(
+            dlogb, q[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+    dq = jnp.concatenate(dqs, axis=-1)  # (T, C) f32
+    dqb = dq.astype(x.dtype)
+    dwq_ref[...] += jax.lax.dot_general(dqb, x, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32
+                                        ).astype(dwq_ref.dtype)
+    dbq_ref[...] += jnp.sum(dq, axis=0, keepdims=True).astype(dbq_ref.dtype)
+    dx = ds + jax.lax.dot_general(dqb, wq_ref[...], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _bwd_pallas(x, k, v, wq, bq, wo, bo, ln_w, ln_b, g, num_heads, eps,
+                post_ln, interpret):
+    b, p, c = x.shape
+    l = k.shape[1]
+    dh = c // num_heads
+    scale = 1.0 / np.sqrt(dh)
+    wdt = x.dtype
+
+    per_tok = 3 * l * 4 + 8 * c * 4
+    bt = max(128, min(512, (3 * 1024 * 1024) // per_tok))
+    bt = (bt // 128) * 128
+    bt = min(bt, max(128, ((p + 127) // 128) * 128))
+    p_pad = ((p + bt - 1) // bt) * bt
+    if p_pad != p:
+        x = jnp.pad(x, ((0, 0), (0, p_pad - p), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, p_pad - p), (0, 0)))
+
+    const = lambda bb, ii: (0, 0)
+    per_b = lambda bb, ii: (bb, 0, 0)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale,
+                          eps=eps, post_ln=post_ln),
+        grid=(b, p_pad // bt),
+        in_specs=[
+            pl.BlockSpec((1, bt, c), lambda bb, ii: (bb, ii, 0)),
+            pl.BlockSpec((1, l, c), per_b),
+            pl.BlockSpec((1, l, c), per_b),
+            pl.BlockSpec((c, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((c, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, bt, c), lambda bb, ii: (bb, ii, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bt, c), lambda bb, ii: (bb, ii, 0)),
+            pl.BlockSpec((1, l, c), per_b),
+            pl.BlockSpec((1, l, c), per_b),
+            pl.BlockSpec((c, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((c, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, p_pad, c), wdt),
+            # dk/dv accumulate in the compute dtype: f32 pairs with the k/v
+            # double-buffering to overflow VMEM at L=1024/C=512 (18.2 MB)
+            jax.ShapeDtypeStruct((b, l, c), wdt),
+            jax.ShapeDtypeStruct((b, l, c), wdt),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, k.astype(wdt), v.astype(wdt), wq.astype(wdt), bq.reshape(1, c).astype(wdt),
+      wo.astype(wdt), bo.reshape(1, c).astype(wdt),
+      ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt), g)
+    dx, dk, dv, dwq, dbq, dwo, dbo, dlnw, dlnb = outs
+    return (dx[:, :p], dk.astype(k.dtype), dv.astype(v.dtype),
+            dwq.astype(wq.dtype), dbq[0].astype(bq.dtype),
+            dwo.astype(wo.dtype), dbo[0].astype(bo.dtype),
+            dlnw[0].astype(ln_w.dtype), dlnb[0].astype(ln_b.dtype))

@@ -112,7 +112,9 @@ def _xla_reference(x, ln_w, ln_b, w1, b1, w2, b2, *, act, pre, residual, eps):
         return (y * ln_w + ln_b).astype(v.dtype)
 
     def ff(h):
-        u = act_f(h @ w1.astype(h.dtype).T + b1.astype(h.dtype))
+        # the erf polynomial's f32 constants would promote bf16; keep the
+        # composition's dtype identical to the module path
+        u = act_f(h @ w1.astype(h.dtype).T + b1.astype(h.dtype)).astype(h.dtype)
         return u @ w2.astype(h.dtype).T + b2.astype(h.dtype)
 
     if pre:

@@ -1,0 +1,100 @@
+"""Fused bilinear-upsample + per-pixel argmax for serving.
+
+The flagship models end with ``resize(score_map, x4, bilinear)`` then an
+argmax over the 151 classes (``model/final.py:355-356`` + mask generation,
+``utils.py:15-22``).  Materialising the upsampled (B, K, 512, 512) map costs
+~2.4 GB of HBM traffic per batch-16 step; serving only needs the argmax.
+This kernel computes ``argmax_k bilinear_up(score_map)[k]`` tile-by-tile
+without ever writing the upsampled map:
+
+- layout (B, K, h, w): K lives on a leading dim, so per-class planes are
+  (rows, lanes) tiles; the argmax is a leading-dim reduction (cheap VPU);
+- H taps come from a prev/cur/next row-block halo (same scheme as
+  ops/upsample); W taps are lane rolls with iota edge masks;
+- ties resolve to the LOWEST class index (min-trick), matching
+  jnp.argmax/torch.argmax first-occurrence semantics bit-exactly.
+
+Forward-only (serving path — not differentiable, like argmax itself).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lc2is_tpu.ops.upsample import _phase_weights
+
+
+def _kernel(prv_ref, cur_ref, nxt_ref, o_ref, wide, *, hb, r, n_classes):
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    k, w = cur_ref.shape[1], cur_ref.shape[3]
+
+    wide[:, 1 : hb + 1] = cur_ref[0]
+    wide[:, 0] = prv_ref[0, :, hb - 1]
+    wide[:, hb + 1] = nxt_ref[0, :, 0]
+
+    @pl.when(i == 0)
+    def _():
+        wide[:, 0] = wide[:, 1]
+
+    @pl.when(i == n_i - 1)
+    def _():
+        wide[:, hb + 1] = wide[:, hb]
+
+    ids = jax.lax.broadcasted_iota(jnp.int32, (k, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, w), 1)
+    phases = _phase_weights(r)
+
+    for j in range(hb):
+        for mh, (h_prev, h_wo, h_wc) in enumerate(phases):
+            other = wide[:, j if h_prev else j + 2].astype(jnp.float32)
+            cur = wide[:, j + 1].astype(jnp.float32)
+            hrow = h_wo * other + h_wc * cur  # (K, w)
+            left = jnp.where(col == 0, hrow, pltpu.roll(hrow, 1, 1))
+            right = jnp.where(col == w - 1, hrow, pltpu.roll(hrow, w - 1, 1))
+            for mw, (w_prev, w_wo, w_wc) in enumerate(phases):
+                oth = left if w_prev else right
+                blended = w_wo * oth + w_wc * hrow
+                mx = jnp.max(blended, axis=0, keepdims=True)
+                sel = jnp.where(blended == mx, ids, n_classes)
+                idx = jnp.min(sel, axis=0, keepdims=True)  # (1, w)
+                o_ref[0, (r * j + mh) * r + mw] = idx[0]
+
+
+def upsample_argmax(
+    score_map: jnp.ndarray,  # (B, K, h, w)
+    r: int = 4,
+    interpret: bool = False,
+    block_rows: Optional[int] = None,
+) -> jnp.ndarray:
+    """argmax_k of the torch-bilinear r× upsample of score_map: (B, rh, rw)
+    int32, identical to jnp.argmax(resize(score_map, scale_factor=r), 1)."""
+    b, k, h, w = score_map.shape
+    hb = block_rows or 8
+    while h % hb:
+        hb //= 2
+    n_blocks = h // hb
+
+    blk = (1, k, hb, w)
+    out = pl.pallas_call(
+        functools.partial(_kernel, hb=hb, r=r, n_classes=k),
+        grid=(b, n_blocks),
+        in_specs=[
+            pl.BlockSpec(blk, lambda bb, ii: (bb, 0, jnp.maximum(ii - 1, 0), 0)),
+            pl.BlockSpec(blk, lambda bb, ii: (bb, 0, ii, 0)),
+            pl.BlockSpec(blk, lambda bb, ii, nb=n_blocks: (bb, 0, jnp.minimum(ii + 1, nb - 1), 0)),
+        ],
+        out_specs=pl.BlockSpec((1, r * hb * r, w), lambda bb, ii: (bb, ii, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, r * h * r, w), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((k, hb + 2, w), score_map.dtype)],
+        interpret=interpret,
+    )(score_map, score_map, score_map)
+    # rows are stored (h_out, w_phase): (B, rh·r, w) -> (B, rh, rw)
+    out = out.reshape(b, r * h, r, w).transpose(0, 1, 3, 2).reshape(b, r * h, r * w)
+    return out

@@ -296,6 +296,15 @@ def _fused_block_fwd(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
 def _fused_block_bwd(has_regions, num_heads, eps, residual, block_windows, interpret,
                      res, g):
     x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias = res
+    c = x.shape[-1]
+    if c <= 512:
+        # fused Pallas backward (flash-style in-VMEM recompute)
+        dx, dlw, dlb, dwq, dbq, dwo, dbo_, dbi = _fused_block_bwd_pallas(
+            x, ln_w, ln_b, wqkv, bqkv, wo, bo,
+            regions if has_regions else None, bias, g,
+            num_heads, eps, residual, interpret,
+        )
+        return dx, dlw, dlb, dwq, dbq, dwo, dbo_, None, dbi
     _, vjp = jax.vjp(
         lambda x_, lw, lb, wq, bq, wo_, bo_, bi: _xla_block_reference(
             x_, lw, lb, wq, bq, wo_, bo_, regions if has_regions else None, bi,
@@ -594,3 +603,213 @@ def fused_swin_block(
     return _swin_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
                            w1, b1, w2, b2, regions, bias, True, num_heads,
                            eps, block_windows, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused backward kernel for the window block (flash-style: recompute the
+# forward in VMEM from x, then walk the chain backwards; weight/bias grads
+# accumulate across grid steps in revisited output blocks).  Used for
+# C <= 512 — stage-4 (768-wide) grads exceed VMEM and keep the XLA-recompute
+# path (2 blocks at 256 tokens/img, negligible).
+# ---------------------------------------------------------------------------
+
+
+def _ln_bwd(dy, xf, w, eps):
+    """Backward of y = norm(x)*w+b given upstream dy; returns (dx, dw_rows, db_rows).
+    All f32 2D (T, C); dw/db are per-row contributions (caller sums rows)."""
+    c = xf.shape[-1]
+    mean = xf.mean(axis=-1, keepdims=True)
+    xc = xf - mean
+    var = (xc * xc).mean(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    dxhat = dy * w
+    m1 = dxhat.mean(axis=-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
+    dx = (dxhat - m1 - xhat * m2) * rstd
+    return dx, dy * xhat, dy
+
+
+def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
+                      reg_ref, bias_ref, g_ref,
+                      dx_ref, dlnw_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
+                      dwo_ref, dbo_ref, dbias_ref,
+                      *, num_heads, scale, eps, residual):
+    i = pl.program_id(0)
+    g_, p, c = x_ref.shape
+    dh = c // num_heads
+    rows = g_ * p
+
+    @pl.when(i == 0)
+    def _():
+        dlnw_ref[...] = jnp.zeros_like(dlnw_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    x = x_ref[...]
+    x2 = x.reshape(rows, c)
+    lnw = lnw_ref[...].astype(jnp.float32)
+    lnb = lnb_ref[...].astype(jnp.float32)
+
+    # ---- recompute forward ----
+    xf = x2.astype(jnp.float32)
+    h = _ln_f32(x2, lnw, lnb, eps).astype(x.dtype)
+    qkv2 = jax.lax.dot_general(h, wqkv_ref[...], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    qkv2 = qkv2 + bqkv_ref[...].astype(jnp.float32)
+    qkv = qkv2.astype(x.dtype).reshape(g_, p, 3 * c)
+    reg = reg_ref[...]
+    neq = reg[:, :, None] != reg[:, None, :]
+
+    gout = g_ref[...].reshape(rows, c).astype(jnp.float32)
+
+    # ---- out-proj backward: proj = att@Woᵀ + bo ----
+    # datt (rows, C) = gout @ Wo ; dWo += goutᵀ @ att ; dbo += Σ gout
+    datt2 = jax.lax.dot_general(gout.astype(x.dtype), wo_ref[...],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    datt = datt2.astype(x.dtype).reshape(g_, p, c)
+
+    att_parts = []
+    dqs, dks, dvs = [], [], []
+    for hd in range(num_heads):
+        qh = qkv[:, :, hd * dh : (hd + 1) * dh]
+        kh = qkv[:, :, c + hd * dh : c + (hd + 1) * dh]
+        vh = qkv[:, :, 2 * c + hd * dh : 2 * c + (hd + 1) * dh]
+        logits = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+        logits = logits * scale + bias_ref[hd][None]
+        logits = jnp.where(neq, NEG, logits)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)  # (g, p, p) f32
+        pb = probs.astype(x.dtype)
+        att_h = jax.lax.dot_general(pb, vh, (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+        att_parts.append(att_h.astype(x.dtype))
+
+        dah = datt[:, :, hd * dh : (hd + 1) * dh]
+        # dprobs = dah @ vhᵀ ; dv = probsᵀ @ dah
+        dprobs = jax.lax.dot_general(dah, vh, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+        dvh = jax.lax.dot_general(pb, dah, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        # softmax backward
+        dlog = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True))
+        dbias_ref[hd] += jnp.sum(dlog, axis=0).astype(dbias_ref.dtype)
+        dlogb = (dlog * scale).astype(x.dtype)
+        dqh = jax.lax.dot_general(dlogb, kh, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dkh = jax.lax.dot_general(dlogb, qh, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dqs.append(dqh)
+        dks.append(dkh)
+        dvs.append(dvh)
+
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (g, p, 3C) f32
+    att2 = jnp.concatenate(att_parts, axis=-1).reshape(rows, c)
+    dwo_ref[...] += jax.lax.dot_general(
+        gout.astype(x.dtype), att2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dwo_ref.dtype)
+    dbo_ref[...] += jnp.sum(gout, axis=0, keepdims=True).astype(dbo_ref.dtype)
+
+    dqkv2 = dqkv.reshape(rows, 3 * c)
+    dbqkv_ref[...] += jnp.sum(dqkv2, axis=0, keepdims=True).astype(dbqkv_ref.dtype)
+    dqkv2b = dqkv2.astype(x.dtype)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        dqkv2b, h, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dwqkv_ref.dtype)
+    dhf = jax.lax.dot_general(dqkv2b, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dx_ln, dw_rows, db_rows = _ln_bwd(dhf, xf, lnw, eps)
+    dlnw_ref[...] += jnp.sum(dw_rows, axis=0, keepdims=True).astype(dlnw_ref.dtype)
+    dlnb_ref[...] += jnp.sum(db_rows, axis=0, keepdims=True).astype(dlnb_ref.dtype)
+    dx = dx_ln + (gout if residual else 0.0)
+    dx_ref[...] = dx.reshape(g_, p, c).astype(dx_ref.dtype)
+
+
+def _fused_block_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
+                            g_out, num_heads, eps, residual, interpret):
+    """pallas_call driver for _block_bwd_kernel; returns grads for
+    (x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, p, c = x.shape
+    dh = c // num_heads
+    scale = 1.0 / np.sqrt(dh)
+    wdt = x.dtype
+
+    p_pad = ((p + 15) // 16) * 16
+    if p_pad != p:
+        x = jnp.pad(x, ((0, 0), (0, p_pad - p), (0, 0)))
+        g_out = jnp.pad(g_out, ((0, 0), (0, p_pad - p), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, p_pad - p), (0, 0)), constant_values=0.0)
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, p_pad - p)), constant_values=NEG)
+        if regions is not None:
+            regions = jnp.pad(regions, ((0, 0), (0, p_pad - p)))
+
+    per_window = 5 * p_pad * c * 2 + p_pad * p_pad * 4
+    g = min(max(8, min(16, (1024 * 1024) // per_window * 8 // 8)), n)
+    g = max(8, (g // 8) * 8)
+    n_pad = ((n + g - 1) // g) * g
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
+        g_out = jnp.pad(g_out, ((0, n_pad - n), (0, 0), (0, 0)))
+    if regions is None:
+        regions = jnp.zeros((n_pad, p_pad), jnp.int32)
+    elif regions.shape[0] != n_pad:
+        regions = jnp.pad(regions, ((0, n_pad - regions.shape[0]), (0, 0)))
+
+    const = lambda i: (0, 0)
+    outs = pl.pallas_call(
+        functools.partial(_block_bwd_kernel, num_heads=num_heads, scale=scale,
+                          eps=eps, residual=residual),
+        grid=(n_pad // g,),
+        in_specs=[
+            pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((3 * c, c), const),
+            pl.BlockSpec((1, 3 * c), const),
+            pl.BlockSpec((c, c), const),
+            pl.BlockSpec((g, p_pad), lambda i: (i, 0)),
+            pl.BlockSpec((num_heads, p_pad, p_pad), lambda i: (0, 0, 0)),
+            pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((3 * c, c), const),
+            pl.BlockSpec((1, 3 * c), const),
+            pl.BlockSpec((c, c), const),
+            pl.BlockSpec((1, c), const),
+            pl.BlockSpec((num_heads, p_pad, p_pad), lambda i: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, p_pad, c), wdt),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((3 * c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((num_heads, p_pad, p_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
+      wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt), wo.astype(wdt),
+      regions, bias.astype(jnp.float32), g_out)
+
+    dx, dlnw, dlnb, dwqkv, dbqkv, dwo, dbo, dbias = outs
+    return (dx[:n, :p],
+            dlnw[0].astype(ln_w.dtype), dlnb[0].astype(ln_b.dtype),
+            dwqkv.astype(wqkv.dtype), dbqkv[0].astype(bqkv.dtype),
+            dwo.astype(wo.dtype), dbo[0].astype(bo.dtype),
+            dbias[:, :p, :p].astype(bias.dtype))

@@ -66,3 +66,47 @@ def test_fused_gate_keeps_param_tree_identical(force_pallas):
     pf = jax.tree_util.tree_structure(fused.init(jax.random.PRNGKey(0), x))
     px = jax.tree_util.tree_structure(xla.init(jax.random.PRNGKey(0), x))
     assert pf == px
+
+
+def test_decoder_layer_fused_grads_match_xla(force_pallas):
+    """Training path: grads through the fused kernels (pallas backward for
+    attention blocks + XLA-recompute for the rest) == XLA composition."""
+    r = np.random.RandomState(5)
+    tgt = jnp.asarray(r.randn(2, 64, 64), jnp.float32)
+    mem = jnp.asarray(r.randn(2, 7, 64), jnp.float32)
+    kw = dict(d_model=64, nhead=4, dim_feedforward=128, dropout=0.0)
+    xla = TransformerDecoderLayer(attn_impl="xla", **kw)
+    fused = TransformerDecoderLayer(attn_impl="auto", **kw)
+    params = xla.init(jax.random.PRNGKey(0), tgt, mem)
+
+    def loss(mod, p):
+        return (mod.apply(p, tgt, mem) ** 2).sum()
+
+    ga = jax.grad(lambda p: loss(xla, p))(params)
+    gb = jax.grad(lambda p: loss(fused, p))(params)
+    flat_a = jax.tree_util.tree_leaves_with_path(ga)
+    flat_b = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(gb)}
+    for k, va in flat_a:
+        vb = flat_b[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=5e-3, atol=5e-3,
+                                   err_msg=jax.tree_util.keystr(k))
+
+
+def test_swin_fused_grads_match_xla(force_pallas):
+    r = np.random.RandomState(6)
+    x = jnp.asarray(r.randn(1, 3, 32, 32), jnp.float32)
+    xla = SwinModel(attn_impl="xla", drop_path_rate=0.0, **TINY_SWIN)
+    fused = SwinModel(attn_impl="auto", drop_path_rate=0.0, **TINY_SWIN)
+    params = xla.init(jax.random.PRNGKey(0), x)
+
+    def loss(mod, p):
+        return sum((h ** 2).sum() for h in mod.apply(p, x))
+
+    ga = jax.grad(lambda p: loss(xla, p))(params)
+    gb = jax.grad(lambda p: loss(fused, p))(params)
+    flat_a = jax.tree_util.tree_leaves_with_path(ga)
+    flat_b = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(gb)}
+    for k, va in flat_a:
+        vb = flat_b[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=5e-3, atol=5e-3,
+                                   err_msg=jax.tree_util.keystr(k))

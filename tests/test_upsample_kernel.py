@@ -37,3 +37,36 @@ def test_resize_tokens_routes_to_kernel(monkeypatch):
     got = np.asarray(resize_tokens(x, (8, 8), scale_factor=2, method="bilinear"))
     want = np.asarray(_xla_reference(x, (8, 8), 2))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_upsample_argmax_matches_resize_argmax():
+    import jax.numpy as jnp
+    from lc2is_tpu.ops.resize import resize
+    from lc2is_tpu.ops.upsample_argmax import upsample_argmax
+
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(2, 151, 16, 16).astype(np.float32))
+    got = np.asarray(upsample_argmax(x, r=4, interpret=True))
+    want = np.asarray(jnp.argmax(resize(x, scale_factor=4, method="bilinear"), axis=1))
+    assert (got == want).all()
+
+
+def test_predict_masks_path(monkeypatch):
+    """predict_masks=True returns int32 masks equal to argmax of the full map."""
+    monkeypatch.setenv("LC2IS_PALLAS_INTERPRET", "1")
+    import jax
+    import jax.numpy as jnp
+    from lc2is_tpu.models import zoo
+
+    tiny = dict(embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8), window=4)
+    names = tuple(f"c{i}" for i in range(7))
+    kw = dict(class_names=names, swin_cfg=tiny, dec_dim=32, nhead=2)
+    m_map = zoo.BaseCrossA(**kw)
+    m_mask = zoo.BaseCrossA(**kw, predict_masks=True)
+    rs = np.random.RandomState(0)
+    x = {"pixel_values": jnp.asarray(rs.randn(1, 3, 64, 64).astype(np.float32))}
+    params = m_map.init(jax.random.PRNGKey(0), x)
+    full = m_map.apply(params, x)["outputs"]
+    masks = m_mask.apply(params, x)["outputs"]
+    assert masks.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(masks), np.asarray(jnp.argmax(full, axis=1)))
