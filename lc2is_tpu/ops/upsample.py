@@ -100,6 +100,11 @@ def _vjp_fwd(x, grid_hw, r, interpret):
 
 def _vjp_bwd(grid_hw, r, interpret, res, g):
     (x,) = res
+    if r == 2:
+        # Pallas adjoint kernel — the 1-row halo replication only reproduces
+        # the clamped-tap adjoint for r=2 (symmetric phase weights); other
+        # factors (unused by the models' training paths) fall back to XLA
+        return (_adjoint_impl(g, grid_hw, r, interpret),)
     _, vjp = jax.vjp(lambda v: _xla_reference(v, grid_hw, r), x)
     return vjp(g)
 
@@ -158,3 +163,98 @@ def upsample_tokens(
     """(B, H·W, C) -> (B, rH·rW, C), torch-bilinear half-pixel semantics."""
     assert r >= 2 and int(r) == r
     return _upsample_vjp(x, tuple(grid_hw), int(r), interpret)
+
+
+# ---------------------------------------------------------------------------
+# Adjoint (backward) kernel — the op is linear, so vjp(g) = adjoint(g).
+# Same halo structure as the forward on the OUTPUT-grad side: replicating
+# the edge row in the halo reproduces the clamped-tap adjoint exactly
+# (out[0] = w·x[clamp(-1)=0] + ... ⇒ dx[0] absorbs the clamped weight).
+# ---------------------------------------------------------------------------
+
+
+def _adj_kernel(prv_ref, cur_ref, nxt_ref, wmt_ref, o_ref, narrow, *, hb, w, r):
+    """cur block = r·hb output-grad rows (flat (r·hb·rW, C)); writes the hb
+    input-grad rows.  W-adjoint per row by MXU matmul with wmᵀ, H-adjoint by
+    static VPU tap blends."""
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    rw = r * w
+    wmt = wmt_ref[...]  # (w, r·w)
+
+    def narrow_row(row):  # (rW, C) -> (W, C)
+        return jax.lax.dot_general(
+            wmt, row, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(narrow.dtype)
+
+    rows = r * hb
+    for l in range(rows):
+        narrow[1 + l] = narrow_row(cur_ref[0, l * rw : (l + 1) * rw])
+    narrow[0] = narrow_row(prv_ref[0, (rows - 1) * rw : rows * rw])
+    narrow[rows + 1] = narrow_row(nxt_ref[0, :rw])
+
+    @pl.when(i == 0)
+    def _():
+        narrow[0] = narrow[1]
+
+    @pl.when(i == n_i - 1)
+    def _():
+        narrow[rows + 1] = narrow[rows]
+
+    # dx[j] taps: phase m of out row r·j+m contributes w_cur to dx[j] and
+    # w_other to dx[j∓1] — i.e. dx[j] collects w_cur from g[r·j+m] plus
+    # w_other from g[r·(j+1)+m] (prev-phases) / g[r·(j-1)+m] (next-phases).
+    phases = _phase_weights(r)
+    for j in range(hb):
+        acc = None
+        for m, (use_prev, w_o, w_c) in enumerate(phases):
+            own = narrow[1 + r * j + m].astype(jnp.float32) * w_c
+            acc = own if acc is None else acc + own
+            if use_prev:  # that phase's "prev" row is j when emitted from j+1
+                src = 1 + r * j + r + m  # g row r·(j+1)+m in slab coords
+            else:
+                src = 1 + r * j - r + m  # g row r·(j-1)+m
+            acc = acc + narrow[src].astype(jnp.float32) * w_o
+        o_ref[0, j * w : (j + 1) * w] = acc.astype(o_ref.dtype)
+
+
+def _adjoint_impl(g, grid_hw, r, interpret):
+    from lc2is_tpu.ops.resize import _torch_resize_matrix_jnp
+
+    b, p_out, c = g.shape
+    h, w = grid_hw  # INPUT grid (dx shape)
+    rw = r * w
+
+    it = jnp.dtype(g.dtype).itemsize
+    hb = 8
+    while h % hb:
+        hb //= 2
+    while hb > 1:
+        vmem = (3 * 2 * r * hb * rw * c + (r * hb + 2) * w * c + 2 * hb * w * c) * it
+        if vmem <= 12 * 1024 * 1024:
+            break
+        hb //= 2
+    n_blocks = h // hb
+
+    wm = _torch_resize_matrix_jnp(w, rw, "bilinear", 1.0 / r, g.dtype)
+    wmt = wm.T  # (w, rw) adjoint taps (clamping included)
+
+    gblk = (1, r * hb * rw, c)
+    out = pl.pallas_call(
+        functools.partial(_adj_kernel, hb=hb, w=w, r=r),
+        grid=(b, n_blocks),
+        in_specs=[
+            pl.BlockSpec(gblk, lambda bb, ii: (bb, jnp.maximum(ii - 1, 0), 0)),
+            pl.BlockSpec(gblk, lambda bb, ii: (bb, ii, 0)),
+            pl.BlockSpec(gblk, lambda bb, ii, nb=n_blocks: (bb, jnp.minimum(ii + 1, nb - 1), 0)),
+            pl.BlockSpec((w, rw), lambda bb, ii: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hb * w, c), lambda bb, ii: (bb, ii, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, c), g.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((r * hb + 2, w, c), g.dtype),
+        ],
+        interpret=interpret,
+    )(g, g, g, wmt)
+    return out

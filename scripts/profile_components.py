@@ -128,7 +128,22 @@ def main():
     import jax.numpy as jnp
 
     part = sys.argv[1]
+    grad_mode = part.endswith("+grad")
+    if grad_mode:
+        part = part[: -len("+grad")]
     init, args, fn = build(part)
+    if grad_mode:
+        base_fn = fn
+
+        def fn(p, *a):
+            def loss(p):
+                out = base_fn(p, *a)
+                leaves = jax.tree_util.tree_leaves(out)
+                return sum((l.astype(jnp.float32) ** 2).mean() for l in leaves)
+
+            grads = jax.grad(loss)(p)
+            return sum(l.astype(jnp.float32).mean()
+                       for l in jax.tree_util.tree_leaves(grads))
 
     # params go through as jit ARGS — closing over them embeds every weight
     # as a multi-MB dense literal and blows the relay payload limit

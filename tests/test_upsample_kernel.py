@@ -70,3 +70,16 @@ def test_predict_masks_path(monkeypatch):
     masks = m_mask.apply(params, x)["outputs"]
     assert masks.dtype == jnp.int32
     np.testing.assert_array_equal(np.asarray(masks), np.asarray(jnp.argmax(full, axis=1)))
+
+
+def test_upsample_adjoint_kernel_matches_xla_vjp():
+    from lc2is_tpu.ops.upsample import upsample_tokens, _xla_reference
+
+    rs = np.random.RandomState(3)
+    for (h, w, c) in ((8, 8, 16), (6, 10, 8)):
+        x = jnp.asarray(rs.randn(2, h * w, c).astype(np.float32))
+        g = jnp.asarray(rs.randn(2, 4 * h * w, c).astype(np.float32))
+        _, vjp_p = jax.vjp(lambda v: upsample_tokens(v, (h, w), 2, interpret=True), x)
+        _, vjp_r = jax.vjp(lambda v: _xla_reference(v, (h, w), 2), x)
+        np.testing.assert_allclose(np.asarray(vjp_p(g)[0]), np.asarray(vjp_r(g)[0]),
+                                   rtol=1e-5, atol=1e-5)
