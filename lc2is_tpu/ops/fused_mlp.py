@@ -70,19 +70,25 @@ def _ln(xf, w, b, eps):
     return (xf - mean) * jax.lax.rsqrt(var + eps) * w + b
 
 
-def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-            *, act, pre, residual, eps):
+def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
+            act, pre, residual, eps, save_upre):
+    if save_upre:
+        o_ref, u_ref = rest
+    else:
+        (o_ref,) = rest
     x = x_ref[...]  # (T, C)
     lnw = lnw_ref[...].astype(jnp.float32)  # (1, C)
     lnb = lnb_ref[...].astype(jnp.float32)
     act_f = _act_fn(act)
 
     def ff(h):  # h: (T, C) in compute dtype
-        u = jax.lax.dot_general(
+        upre = jax.lax.dot_general(
             h, w1_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b1_ref[...].astype(jnp.float32)
-        u = act_f(u).astype(h.dtype)
+        if save_upre:
+            u_ref[...] = upre.astype(u_ref.dtype)
+        u = act_f(upre).astype(h.dtype)
         y = jax.lax.dot_general(
             u, w2_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -134,25 +140,89 @@ def _fused_mlp_vjp(x, ln_w, ln_b, w1, b1, w2, b2,
 
 def _vjp_fwd(x, ln_w, ln_b, w1, b1, w2, b2, act, pre, residual, eps,
              block_tokens, interpret):
-    out = _fused_mlp_vjp(x, ln_w, ln_b, w1, b1, w2, b2, act, pre, residual,
-                         eps, block_tokens, interpret)
-    return out, (x, ln_w, ln_b, w1, b1, w2, b2)
+    out, upre = _fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, act=act, pre=pre,
+                          residual=residual, eps=eps, block_tokens=block_tokens,
+                          interpret=interpret, save_upre=True)
+    return out, (x, ln_w, ln_b, w1, b1, w2, b2, upre)
+
+
+def _act_prime(act, upre):
+    """d act / d upre at the pre-activation (f32)."""
+    if act == "relu":
+        return (upre > 0).astype(jnp.float32)
+    if act in ("gelu", "gelu_tanh"):
+        # exact-gelu derivative: Φ(x) + x·φ(x)
+        phi_cdf = 0.5 * (1.0 + jax.lax.erf(upre * jnp.float32(0.7071067811865476)))
+        pdf = jnp.exp(-0.5 * upre * upre) * jnp.float32(0.3989422804014327)
+        return phi_cdf + upre * pdf
+    raise ValueError(act)
 
 
 def _vjp_bwd(act, pre, residual, eps, block_tokens, interpret, res, g):
-    x, ln_w, ln_b, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(
-        lambda *a: _xla_reference(*a, act=act, pre=pre, residual=residual, eps=eps),
-        x, ln_w, ln_b, w1, b1, w2, b2,
-    )
-    return vjp(g)
+    """Analytic backward from the saved pre-activation — pure MXU matmuls,
+    no forward recompute (the round-trip of upre replaces two matmuls and
+    several (T,F) materialisations of the autodiff path)."""
+    x, ln_w, ln_b, w1, b1, w2, b2, upre = res
+    dt = x.dtype
+    shape = x.shape
+    c = shape[-1]
+    f = w1.shape[0]
+    x2 = x.reshape(-1, c)
+    g2 = g.reshape(-1, c).astype(jnp.float32)
+    upf = upre.astype(jnp.float32)
+    u = _act_fn(act)(upf).astype(dt)
+    lnw_f = ln_w.astype(jnp.float32)
+
+    def ln_bwd(dy, sf):
+        cc = sf.shape[-1]
+        mean = sf.mean(axis=-1, keepdims=True)
+        sc = sf - mean
+        var = (sc * sc).mean(axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        shat = sc * rstd
+        dshat = dy * lnw_f
+        m1 = dshat.mean(axis=-1, keepdims=True)
+        m2 = (dshat * shat).mean(axis=-1, keepdims=True)
+        return (dshat - m1 - shat * m2) * rstd, (dy * shat).sum(0), dy.sum(0)
+
+    if pre:
+        xf = x2.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        xc = xf - mean
+        var = (xc * xc).mean(axis=-1, keepdims=True)
+        h = (xc * jax.lax.rsqrt(var + eps) * lnw_f + ln_b.astype(jnp.float32)).astype(dt)
+        dy = g2
+    else:
+        y = (u @ w2.astype(dt).T + b2.astype(dt)).astype(jnp.float32)
+        sf = x2.astype(jnp.float32) + y if residual else y
+        dy, dlnw, dlnb = ln_bwd(g2, sf)
+        h = x2
+
+    dyb = dy.astype(dt)
+    dw2 = (dyb.T @ u).astype(w2.dtype)
+    db2 = dy.sum(0).astype(b2.dtype)
+    du = (dyb @ w2.astype(dt)).astype(jnp.float32)
+    dupre = du * _act_prime(act, upf)
+    dupb = dupre.astype(dt)
+    dw1 = (dupb.T @ h).astype(w1.dtype)
+    db1 = dupre.sum(0).astype(b1.dtype)
+    dh = (dupb @ w1.astype(dt)).astype(jnp.float32)
+
+    if pre:
+        dx_ln, dlnw, dlnb = ln_bwd(dh, x2.astype(jnp.float32))
+        dx = dx_ln + (g2 if residual else 0.0)
+    else:
+        dx = dh + (dy if residual else 0.0)
+
+    return (dx.astype(dt).reshape(shape), dlnw.astype(ln_w.dtype),
+            dlnb.astype(ln_b.dtype), dw1, db1, dw2, db2)
 
 
 _fused_mlp_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def _fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, *, act, pre, residual, eps,
-              block_tokens, interpret):
+              block_tokens, interpret, save_upre=False):
     orig_shape = x.shape
     c = x.shape[-1]
     f = w1.shape[0]
@@ -175,8 +245,15 @@ def _fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, *, act, pre, residual, eps,
     if t_pad != t:
         xt = jnp.pad(xt, ((0, t_pad - t), (0, 0)))
 
+    out_specs = pl.BlockSpec((bt, c), lambda i: (i, 0))
+    out_shape = jax.ShapeDtypeStruct((t_pad, c), x.dtype)
+    if save_upre:
+        out_specs = [out_specs, pl.BlockSpec((bt, f), lambda i: (i, 0))]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((t_pad, f), x.dtype)]
+
     out = pl.pallas_call(
-        functools.partial(_kernel, act=act, pre=pre, residual=residual, eps=eps),
+        functools.partial(_kernel, act=act, pre=pre, residual=residual, eps=eps,
+                          save_upre=save_upre),
         grid=(t_pad // bt,),
         in_specs=[
             pl.BlockSpec((bt, c), lambda i: (i, 0)),
@@ -187,11 +264,13 @@ def _fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, *, act, pre, residual, eps,
             pl.BlockSpec((c, f), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((bt, c), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((t_pad, c), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(xt, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
       w1c, b1.reshape(1, f).astype(wdt), w2c, b2.reshape(1, c).astype(wdt))
+    if save_upre:
+        return out[0][:t].reshape(orig_shape), out[1][:t]
     return out[:t].reshape(orig_shape)
 
 
