@@ -42,11 +42,21 @@ def main():
                         frozen_prefixes=zoo.FROZEN_PREFIXES["prompt_aux_cross_a"])
     opt_state = tx.init(params)
 
+    # training fast path: low-res score map + fused upsample+CE (same math
+    # as cross_entropy(resize(outputs)) — see ops/fused_ce.py)
+    from lc2is_tpu.ops.fused_ce import upsampled_cross_entropy
+
+    train_model = model.clone(return_score_map=True)
+
     def train_step(p, o, x, y, eps):
         def loss_fn(pp):
-            out = model.apply({"params": pp}, {"pixel_values": x + eps.astype(x.dtype)},
-                              deterministic=False, rngs={"dropout": jax.random.PRNGKey(0)})
-            return cross_entropy(out["outputs"], y) + 0.4 * auxiliary_loss(out["low_score_map"], y)
+            out = train_model.apply({"params": pp}, {"pixel_values": x + eps.astype(x.dtype)},
+                                    deterministic=False, rngs={"dropout": jax.random.PRNGKey(0)})
+            sm = out["outputs"]  # (B, K, 128, 128)
+            low = out["low_score_map"]  # (B, K, 32, 32)
+            main = upsampled_cross_entropy(sm, y, IMG // sm.shape[-1])
+            aux = upsampled_cross_entropy(low, y, IMG // low.shape[-1])
+            return main + 0.4 * aux
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
         updates, o2 = tx.update(grads, o, p)

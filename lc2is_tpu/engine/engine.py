@@ -89,6 +89,7 @@ class Engine:
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
         self.fp16 = fp16
+        self._default_loss = criterion is None and aux_criterion is None
         self.criterion = criterion or cross_entropy
         self.aux_criterion = aux_criterion or auxiliary_loss
         self.aux_weight = aux_weight
@@ -180,17 +181,47 @@ class Engine:
         model, criterion, aux_criterion = self.model, self.criterion, self.aux_criterion
         aux_w, tx, num_classes = self.aux_weight, self.tx, self.num_classes
 
+        # training fast path: with the default CE/aux losses and a model that
+        # can emit its LOW-res score map, the x4/x16 upsamples fold into the
+        # fused upsample+CE kernels (ops/fused_ce.py) — same loss and grads,
+        # the (B, K, 4H, 4W) maps are never materialised
+        from lc2is_tpu.ops.dispatch import pallas_enabled, pallas_interpret
+
+        use_fused_loss = (
+            self._default_loss
+            and getattr(model, "return_score_map", None) is False
+            and pallas_enabled(getattr(model, "attn_impl", "auto"))
+        )
+        train_model = model.clone(return_score_map=True) if use_fused_loss else model
+
+        def _fused_or_plain_ce(sm, labels):
+            from lc2is_tpu.ops.fused_ce import upsampled_cross_entropy
+
+            rr = labels.shape[-1] // sm.shape[-1]
+            if rr >= 1 and rr * sm.shape[-1] == labels.shape[-1]:
+                return upsampled_cross_entropy(sm, labels, rr,
+                                               interpret=pallas_interpret())
+            from lc2is_tpu.ops.resize import resize
+
+            return criterion(resize(sm, size=labels.shape[-2:], method="bilinear"), labels)
+
         def train_step(params, opt_state, inputs, labels, rng):
             inner = params["params"] if "params" in params else params
 
             def loss_fn(p):
                 variables = dict(params)
                 variables["params"] = p
-                out = model.apply(variables, inputs, deterministic=False, rngs={"dropout": rng})
+                out = train_model.apply(variables, inputs, deterministic=False, rngs={"dropout": rng})
                 out = _normalize_output(out)
-                losses = {"train_loss": criterion(out["outputs"], labels)}
-                if "low_score_map" in out:
-                    losses["train_aux_loss"] = aux_criterion(out["low_score_map"], labels) * aux_w
+                if use_fused_loss:
+                    losses = {"train_loss": _fused_or_plain_ce(out["outputs"], labels)}
+                    if "low_score_map" in out:
+                        losses["train_aux_loss"] = _fused_or_plain_ce(
+                            out["low_score_map"], labels) * aux_w
+                else:
+                    losses = {"train_loss": criterion(out["outputs"], labels)}
+                    if "low_score_map" in out:
+                        losses["train_aux_loss"] = aux_criterion(out["low_score_map"], labels) * aux_w
                 total = sum(losses.values())
                 return total, losses
 

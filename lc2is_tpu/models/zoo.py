@@ -387,6 +387,7 @@ class _FinalBase(nn.Module):
     dtype: jnp.dtype = jnp.float32
     swin_cfg: Optional[Dict[str, Any]] = None  # override (tests/dryrun); default swin-small
     predict_masks: bool = False  # serving: outputs = argmax masks, upsampled map never materialised
+    return_score_map: bool = False  # training: outputs = LOW-RES score map (feeds ops/fused_ce)
 
     @property
     def IN_DIMS(self):
@@ -407,6 +408,10 @@ class _FinalBase(nn.Module):
         p = v_tokens.shape[1]
         grid = int(round(p ** 0.5))
         score_map = _score_map(v_tokens, t, grid)
+        if self.return_score_map:
+            # training fast path: the x4 upsample folds into the fused
+            # upsample+CE loss (ops/fused_ce.py) — same loss value/grads
+            return score_map
         if self.predict_masks:
             # serving fast path: fused upsample+argmax — bit-identical masks
             # (first-occurrence ties), the (B,K,4H,4W) map is never written

@@ -89,6 +89,26 @@ def build(part):
         x = t(BATCH, 4096, 512)
         fn = lambda x: resize_tokens(x, (64, 64), scale_factor=2, method="bilinear")
         return None, (x,), fn
+    if part == "losspath":
+        # training-loss tail: finish-resize + CE + aux CE (batch 8 like bench_train)
+        from lc2is_tpu.nn.losses import auxiliary_loss, cross_entropy
+        from lc2is_tpu.ops.resize import resize
+
+        b = 8
+        x = t(b, 512, 128, 128)  # low score map (pre-upsample), bf16
+        low = t(b, 151, 32, 32)
+        y = jnp.asarray(rng.randint(0, 151, size=(b, 512, 512)), jnp.int32)
+
+        def fn(x, low, y):
+            sm = resize(x[:, :151], scale_factor=4, method="bilinear")
+            loss = cross_entropy(sm, y) + 0.4 * auxiliary_loss(low, y)
+            return loss
+
+        def gfn(x, low, y):
+            l, (gx, gl) = jax.value_and_grad(lambda a, b_: fn(a, b_, y), argnums=(0, 1))(x, low)
+            return l + gx.astype(jnp.float32).mean() + gl.astype(jnp.float32).mean()
+
+        return None, (x, low, y), lambda *a: gfn(*a)
     if part == "text":
         from lc2is_tpu.models.zoo import PromptContextBase
 
