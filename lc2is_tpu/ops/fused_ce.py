@@ -29,23 +29,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-
-def _tap3_weights(r: int):
-    """(wprev, wcur, wnext) per phase — 3-tap form of the 2-tap bilinear
-    blend (one of wprev/wnext is 0), branch-free for vectorised phases."""
-    wp, wc, wn = [], [], []
-    for m in range(r):
-        off = (m + 0.5) / r - 0.5
-        if off < 0:
-            wp.append(-off), wc.append(1.0 + off), wn.append(0.0)
-        else:
-            wp.append(0.0), wc.append(1.0 - off), wn.append(off)
-    return (np.asarray(wp, np.float32), np.asarray(wc, np.float32),
-            np.asarray(wn, np.float32))
 
 
 def _iota_tap3(r, shape, dim):
@@ -71,15 +56,15 @@ def _phase_blend(wide, jj, col, r, w):
 
 
 def _nll_terms(v, lab, k, ignore_index):
-    """v: (r, r, K, w); lab: (r, r, w) int32 → (nll·valid, valid) (r,r,1,w)."""
+    """v: (r, r, K, w); lab: (r, r, 1, w) int32 → (nll·valid, valid) (r,r,1,w)."""
     ids = jax.lax.broadcasted_iota(jnp.int32, v.shape, 2)
-    labc = jnp.clip(lab, 0, k - 1)[:, :, None, :]
+    labc = jnp.clip(lab, 0, k - 1)
     m = jnp.max(v, axis=2, keepdims=True)
     lse = m + jnp.log(jnp.sum(jnp.exp(v - m), axis=2, keepdims=True))
     picked = jnp.sum(jnp.where(ids == labc, v, 0.0), axis=2, keepdims=True)
     nll = lse - picked
     if ignore_index is not None:
-        valid = (lab[:, :, None, :] != ignore_index).astype(jnp.float32)
+        valid = (lab != ignore_index).astype(jnp.float32)
     else:
         valid = jnp.ones_like(nll)
     return nll * valid, valid
@@ -137,7 +122,6 @@ def _bwd_kernel(prv_ref, cur_ref, nxt_ref, lab_p_ref, lab_c_ref, lab_n_ref,
     _fill_wide(prv_ref, cur_ref, nxt_ref, wide, hb, i, n_i)
 
     col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)[0]
-    colkw = jax.lax.broadcasted_iota(jnp.int32, (k, w), 1)
     wph, wch, wnh = _iota_tap3(r, (r, 1, 1), 0)
     wpw, wcw, wnw = _iota_tap3(r, (1, r, 1, 1), 1)
 
@@ -173,13 +157,13 @@ def _bwd_kernel(prv_ref, cur_ref, nxt_ref, lab_p_ref, lab_c_ref, lab_n_ref,
             lab = lab_c_ref[0, r * jj : r * jj + r]
 
         ids = jax.lax.broadcasted_iota(jnp.int32, v4.shape, 2)
-        labc = jnp.clip(lab, 0, k - 1)[:, :, None, :]
+        labc = jnp.clip(lab, 0, k - 1)
         m = jnp.max(v4, axis=2, keepdims=True)
         e = jnp.exp(v4 - m)
         p = e / jnp.sum(e, axis=2, keepdims=True)
         delta = p - (ids == labc).astype(jnp.float32)
         if ignore_index is not None:
-            delta = delta * (lab[:, :, None, :] != ignore_index).astype(jnp.float32)
+            delta = delta * (lab != ignore_index).astype(jnp.float32)
         delta = delta * gscale
         if jj == -1:
             delta = jnp.where(i > 0, delta, 0.0)
@@ -217,9 +201,12 @@ def _bwd_kernel(prv_ref, cur_ref, nxt_ref, lab_p_ref, lab_c_ref, lab_n_ref,
 
 
 def _labels_phase_split(labels, r):
-    """(B, rH, rW) -> (B, rH, r, W): lanes become the low-res column grid."""
+    """(B, rH, rW) -> (B, rH, r, 1, W): lanes become the low-res column grid
+    (the singleton keeps in-kernel label slices broadcast-ready — Mosaic
+    rejects the (r,r,w)->(r,r,1,w) shape cast)."""
     b, rh, rw = labels.shape
-    return labels.reshape(b, rh, rw // r, r).transpose(0, 1, 3, 2)
+    x = labels.reshape(b, rh, rw // r, r).transpose(0, 1, 3, 2)
+    return x.reshape(b, rh, r, 1, rw // r)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -249,7 +236,7 @@ def _fwd_with_count(score, labels, r, ignore_index, interpret):
             pl.BlockSpec(blk, lambda bb, ii: (bb, 0, jnp.maximum(ii - 1, 0), 0)),
             pl.BlockSpec(blk, lambda bb, ii: (bb, 0, ii, 0)),
             pl.BlockSpec(blk, lambda bb, ii, nb=n_blocks: (bb, 0, jnp.minimum(ii + 1, nb - 1), 0)),
-            pl.BlockSpec((1, r * hb, r, w), lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, r * hb, r, 1, w), lambda bb, ii: (bb, ii, 0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1), lambda bb, ii: (0, 0)),
@@ -281,7 +268,7 @@ def _vjp_bwd(r, ignore_index, interpret, res, g):
     gs = (g.astype(jnp.float32) / denom).reshape(1, 1)
 
     blk = (1, k, hb, w)
-    lblk = (1, r * hb, r, w)
+    lblk = (1, r * hb, r, 1, w)
     dlow = pl.pallas_call(
         functools.partial(_bwd_kernel, hb=hb, r=r, ignore_index=ignore_index),
         grid=(b, n_blocks),
@@ -289,9 +276,9 @@ def _vjp_bwd(r, ignore_index, interpret, res, g):
             pl.BlockSpec(blk, lambda bb, ii: (bb, 0, jnp.maximum(ii - 1, 0), 0)),
             pl.BlockSpec(blk, lambda bb, ii: (bb, 0, ii, 0)),
             pl.BlockSpec(blk, lambda bb, ii, nb=n_blocks: (bb, 0, jnp.minimum(ii + 1, nb - 1), 0)),
-            pl.BlockSpec(lblk, lambda bb, ii: (bb, jnp.maximum(ii - 1, 0), 0, 0)),
-            pl.BlockSpec(lblk, lambda bb, ii: (bb, ii, 0, 0)),
-            pl.BlockSpec(lblk, lambda bb, ii, nb=n_blocks: (bb, jnp.minimum(ii + 1, nb - 1), 0, 0)),
+            pl.BlockSpec(lblk, lambda bb, ii: (bb, jnp.maximum(ii - 1, 0), 0, 0, 0)),
+            pl.BlockSpec(lblk, lambda bb, ii: (bb, ii, 0, 0, 0)),
+            pl.BlockSpec(lblk, lambda bb, ii, nb=n_blocks: (bb, jnp.minimum(ii + 1, nb - 1), 0, 0, 0)),
             pl.BlockSpec((1, 1), lambda bb, ii: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(blk, lambda bb, ii: (bb, 0, ii, 0)),
