@@ -44,9 +44,9 @@ def _iota_tap3(r, shape, dim):
 def _phase_blend(wide, jj, col, r, w):
     """All r_h × r_w hi-res logit blends of low row jj: (r, r, K, w) f32
     (axis 0 = H phase, axis 1 = W phase, axis 2 = class)."""
-    prev = wide[:, jj].astype(jnp.float32)      # slab row jj   = low row jj-1
-    cur = wide[:, jj + 1].astype(jnp.float32)   # slab row jj+1 = low row jj
-    nxt = wide[:, jj + 2].astype(jnp.float32)
+    prev = wide[jj].astype(jnp.float32)      # slab row jj   = low row jj-1
+    cur = wide[jj + 1].astype(jnp.float32)   # slab row jj+1 = low row jj
+    nxt = wide[jj + 2].astype(jnp.float32)
     wpj, wcj, wnj = _iota_tap3(r, (r, 1, 1), 0)
     hrow = wpj * prev[None] + wcj * cur[None] + wnj * nxt[None]  # (r, K, w)
     left = jnp.where(col[None] == 0, hrow, pltpu.roll(hrow, 1, 2))
@@ -71,17 +71,19 @@ def _nll_terms(v, lab, k, ignore_index):
 
 
 def _fill_wide(prv_ref, cur_ref, nxt_ref, wide, hb, i, n_i):
-    wide[:, 1 : hb + 1] = cur_ref[0]
-    wide[:, 0] = prv_ref[0, :, hb - 1]
-    wide[:, hb + 1] = nxt_ref[0, :, 0]
+    """Slab layout is (hb+2, K, w) — row reads are leading-dim indexing
+    (Mosaic rejects the (K, row, w) middle-axis gather as a shape cast)."""
+    wide[1 : hb + 1] = cur_ref[0]
+    wide[0] = prv_ref[0, hb - 1]
+    wide[hb + 1] = nxt_ref[0, 0]
 
     @pl.when(i == 0)
     def _():
-        wide[:, 0] = wide[:, 1]
+        wide[0] = wide[1]
 
     @pl.when(i == n_i - 1)
     def _():
-        wide[:, hb + 1] = wide[:, hb]
+        wide[hb + 1] = wide[hb]
 
 
 def _fwd_kernel(prv_ref, cur_ref, nxt_ref, lab_ref, loss_ref, cnt_ref, wide,
@@ -89,7 +91,7 @@ def _fwd_kernel(prv_ref, cur_ref, nxt_ref, lab_ref, loss_ref, cnt_ref, wide,
     b_i = pl.program_id(0)
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
-    k, w = cur_ref.shape[1], cur_ref.shape[3]
+    k, w = cur_ref.shape[2], cur_ref.shape[3]
 
     @pl.when(jnp.logical_and(b_i == 0, i == 0))
     def _():
@@ -116,7 +118,7 @@ def _bwd_kernel(prv_ref, cur_ref, nxt_ref, lab_p_ref, lab_c_ref, lab_n_ref,
                 g_ref, o_ref, wide, *, hb, r, ignore_index):
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
-    k, w = cur_ref.shape[1], cur_ref.shape[3]
+    k, w = cur_ref.shape[2], cur_ref.shape[3]
     gscale = g_ref[0, 0]
 
     _fill_wide(prv_ref, cur_ref, nxt_ref, wide, hb, i, n_i)
@@ -132,14 +134,14 @@ def _bwd_kernel(prv_ref, cur_ref, nxt_ref, lab_p_ref, lab_c_ref, lab_n_ref,
             # previous block's last low row: its true prev row is outside the
             # slab, but the wprev-phases only contribute to dropped rows, so
             # any stand-in is safe; cur/next are slab rows 0/1
-            prev = wide[:, 0].astype(jnp.float32)
-            cur = wide[:, 0].astype(jnp.float32)
-            nxt = wide[:, 1].astype(jnp.float32)
+            prev = wide[0].astype(jnp.float32)
+            cur = wide[0].astype(jnp.float32)
+            nxt = wide[1].astype(jnp.float32)
             hrow = wph * prev[None] + wch * cur[None] + wnh * nxt[None]
         elif jj == hb:
-            prev = wide[:, hb].astype(jnp.float32)
-            cur = wide[:, hb + 1].astype(jnp.float32)
-            nxt = wide[:, hb + 1].astype(jnp.float32)
+            prev = wide[hb].astype(jnp.float32)
+            cur = wide[hb + 1].astype(jnp.float32)
+            nxt = wide[hb + 1].astype(jnp.float32)
             hrow = wph * prev[None] + wch * cur[None] + wnh * nxt[None]
         else:
             v4 = _phase_blend(wide, jj, col3, r, w)
@@ -197,7 +199,7 @@ def _bwd_kernel(prv_ref, cur_ref, nxt_ref, lab_p_ref, lab_c_ref, lab_n_ref,
     acc[hb] = acc[hb] + bot_fold * acc[hb + 1]
 
     for j in range(hb):
-        o_ref[0, :, j] = acc[j + 1].astype(o_ref.dtype)
+        o_ref[0, j] = acc[j + 1].astype(o_ref.dtype)
 
 
 def _labels_phase_split(labels, r):
@@ -227,15 +229,16 @@ def _fwd_with_count(score, labels, r, ignore_index, interpret):
     hb = _pick_hb(h, k, w, r)
     n_blocks = h // hb
     lab4 = _labels_phase_split(labels.astype(jnp.int32), r)
+    score = jnp.swapaxes(score, 1, 2)  # (B, h, K, w): rows lead (see _fill_wide)
 
-    blk = (1, k, hb, w)
+    blk = (1, hb, k, w)
     loss_sum, cnt = pl.pallas_call(
         functools.partial(_fwd_kernel, hb=hb, r=r, ignore_index=ignore_index),
         grid=(b, n_blocks),
         in_specs=[
-            pl.BlockSpec(blk, lambda bb, ii: (bb, 0, jnp.maximum(ii - 1, 0), 0)),
-            pl.BlockSpec(blk, lambda bb, ii: (bb, 0, ii, 0)),
-            pl.BlockSpec(blk, lambda bb, ii, nb=n_blocks: (bb, 0, jnp.minimum(ii + 1, nb - 1), 0)),
+            pl.BlockSpec(blk, lambda bb, ii: (bb, jnp.maximum(ii - 1, 0), 0, 0)),
+            pl.BlockSpec(blk, lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec(blk, lambda bb, ii, nb=n_blocks: (bb, jnp.minimum(ii + 1, nb - 1), 0, 0)),
             pl.BlockSpec((1, r * hb, r, 1, w), lambda bb, ii: (bb, ii, 0, 0, 0)),
         ],
         out_specs=[
@@ -246,7 +249,7 @@ def _fwd_with_count(score, labels, r, ignore_index, interpret):
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((k, hb + 2, w), score.dtype)],
+        scratch_shapes=[pltpu.VMEM((hb + 2, k, w), score.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(score, score, score, lab4)
@@ -266,28 +269,29 @@ def _vjp_bwd(r, ignore_index, interpret, res, g):
     n_blocks = h // hb
     lab4 = _labels_phase_split(labels.astype(jnp.int32), r)
     gs = (g.astype(jnp.float32) / denom).reshape(1, 1)
+    score_t = jnp.swapaxes(score, 1, 2)  # (B, h, K, w)
 
-    blk = (1, k, hb, w)
+    blk = (1, hb, k, w)
     lblk = (1, r * hb, r, 1, w)
     dlow = pl.pallas_call(
         functools.partial(_bwd_kernel, hb=hb, r=r, ignore_index=ignore_index),
         grid=(b, n_blocks),
         in_specs=[
-            pl.BlockSpec(blk, lambda bb, ii: (bb, 0, jnp.maximum(ii - 1, 0), 0)),
-            pl.BlockSpec(blk, lambda bb, ii: (bb, 0, ii, 0)),
-            pl.BlockSpec(blk, lambda bb, ii, nb=n_blocks: (bb, 0, jnp.minimum(ii + 1, nb - 1), 0)),
+            pl.BlockSpec(blk, lambda bb, ii: (bb, jnp.maximum(ii - 1, 0), 0, 0)),
+            pl.BlockSpec(blk, lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec(blk, lambda bb, ii, nb=n_blocks: (bb, jnp.minimum(ii + 1, nb - 1), 0, 0)),
             pl.BlockSpec(lblk, lambda bb, ii: (bb, jnp.maximum(ii - 1, 0), 0, 0, 0)),
             pl.BlockSpec(lblk, lambda bb, ii: (bb, ii, 0, 0, 0)),
             pl.BlockSpec(lblk, lambda bb, ii, nb=n_blocks: (bb, jnp.minimum(ii + 1, nb - 1), 0, 0, 0)),
             pl.BlockSpec((1, 1), lambda bb, ii: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(blk, lambda bb, ii: (bb, 0, ii, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, k, h, w), score.dtype),
-        scratch_shapes=[pltpu.VMEM((k, hb + 2, w), score.dtype)],
+        out_specs=pl.BlockSpec(blk, lambda bb, ii: (bb, ii, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, k, w), score.dtype),
+        scratch_shapes=[pltpu.VMEM((hb + 2, k, w), score.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(score, score, score, lab4, lab4, lab4, gs)
-    return dlow, None
+    )(score_t, score_t, score_t, lab4, lab4, lab4, gs)
+    return jnp.swapaxes(dlow, 1, 2), None
 
 
 _fused_ce.defvjp(_vjp_fwd, _vjp_bwd)

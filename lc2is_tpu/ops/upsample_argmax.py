@@ -33,19 +33,21 @@ from lc2is_tpu.ops.upsample import _phase_weights
 def _kernel(prv_ref, cur_ref, nxt_ref, o_ref, wide, *, hb, r, n_classes):
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
-    k, w = cur_ref.shape[1], cur_ref.shape[3]
+    k, w = cur_ref.shape[2], cur_ref.shape[3]
 
-    wide[:, 1 : hb + 1] = cur_ref[0]
-    wide[:, 0] = prv_ref[0, :, hb - 1]
-    wide[:, hb + 1] = nxt_ref[0, :, 0]
+    # slab layout (hb+2, K, w): row reads are leading-dim indexing (Mosaic
+    # rejects middle-axis row gathers as unsupported shape casts)
+    wide[1 : hb + 1] = cur_ref[0]
+    wide[0] = prv_ref[0, hb - 1]
+    wide[hb + 1] = nxt_ref[0, 0]
 
     @pl.when(i == 0)
     def _():
-        wide[:, 0] = wide[:, 1]
+        wide[0] = wide[1]
 
     @pl.when(i == n_i - 1)
     def _():
-        wide[:, hb + 1] = wide[:, hb]
+        wide[hb + 1] = wide[hb]
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (k, w), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, w), 1)
@@ -53,8 +55,8 @@ def _kernel(prv_ref, cur_ref, nxt_ref, o_ref, wide, *, hb, r, n_classes):
 
     for j in range(hb):
         for mh, (h_prev, h_wo, h_wc) in enumerate(phases):
-            other = wide[:, j if h_prev else j + 2].astype(jnp.float32)
-            cur = wide[:, j + 1].astype(jnp.float32)
+            other = wide[j if h_prev else j + 2].astype(jnp.float32)
+            cur = wide[j + 1].astype(jnp.float32)
             hrow = h_wo * other + h_wc * cur  # (K, w)
             left = jnp.where(col == 0, hrow, pltpu.roll(hrow, 1, 1))
             right = jnp.where(col == w - 1, hrow, pltpu.roll(hrow, w - 1, 1))
@@ -80,19 +82,20 @@ def upsample_argmax(
     while h % hb:
         hb //= 2
     n_blocks = h // hb
+    score_map = jnp.swapaxes(score_map, 1, 2)  # (B, h, K, w)
 
-    blk = (1, k, hb, w)
+    blk = (1, hb, k, w)
     out = pl.pallas_call(
         functools.partial(_kernel, hb=hb, r=r, n_classes=k),
         grid=(b, n_blocks),
         in_specs=[
-            pl.BlockSpec(blk, lambda bb, ii: (bb, 0, jnp.maximum(ii - 1, 0), 0)),
-            pl.BlockSpec(blk, lambda bb, ii: (bb, 0, ii, 0)),
-            pl.BlockSpec(blk, lambda bb, ii, nb=n_blocks: (bb, 0, jnp.minimum(ii + 1, nb - 1), 0)),
+            pl.BlockSpec(blk, lambda bb, ii: (bb, jnp.maximum(ii - 1, 0), 0, 0)),
+            pl.BlockSpec(blk, lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec(blk, lambda bb, ii, nb=n_blocks: (bb, jnp.minimum(ii + 1, nb - 1), 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, r * hb * r, w), lambda bb, ii: (bb, ii, 0)),
         out_shape=jax.ShapeDtypeStruct((b, r * h * r, w), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((k, hb + 2, w), score_map.dtype)],
+        scratch_shapes=[pltpu.VMEM((hb + 2, k, w), score_map.dtype)],
         interpret=interpret,
     )(score_map, score_map, score_map)
     # rows are stored (h_out, w_phase): (B, rh·r, w) -> (B, rh, rw)
