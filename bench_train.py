@@ -6,11 +6,12 @@ params, 512² inputs.  Prints one JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-BATCH = 8
+BATCH = int(os.environ.get("LC2IS_BENCH_BATCH", "16"))  # canonical train batch (all_args.sh)
 IMG = 512
 ITERS = 6
 

@@ -130,6 +130,16 @@ def _fwd_impl(x, grid_hw, r, interpret):
         if vmem <= 12 * 1024 * 1024:
             break
         hb //= 2
+    if (hb * w) % 8 != 0:
+        # Mosaic needs the block row-dim % 8 or == the full array dim; odd
+        # grids (e.g. 15² at sliding-eval 0.75 scale) go whole-image-per-step
+        # when that fits, else fall back to the XLA matrix path
+        vmem_full = (3 * 2 * h * w * c + (h + 2) * r * w * c
+                     + 2 * r * r * h * w * c + r * w * w) * it
+        if vmem_full <= 12 * 1024 * 1024:
+            hb = h
+        else:
+            return _xla_reference(x, grid_hw, r)
     n_blocks = h // hb
 
     wm = _torch_resize_matrix_jnp(w, r * w, "bilinear", 1.0 / r, x.dtype)
@@ -235,6 +245,14 @@ def _adjoint_impl(g, grid_hw, r, interpret):
         if vmem <= 12 * 1024 * 1024:
             break
         hb //= 2
+    if (hb * w) % 8 != 0 or (r * hb * rw) % 8 != 0:
+        vmem_full = (3 * 2 * r * h * rw * c + (r * h + 2) * w * c + 2 * h * w * c) * it
+        if vmem_full <= 12 * 1024 * 1024:
+            hb = h
+        else:
+            (x_placeholder,) = (jnp.zeros((b, h * w, c), g.dtype),)
+            _, vjp = jax.vjp(lambda v: _xla_reference(v, grid_hw, r), x_placeholder)
+            return vjp(g)[0]
     n_blocks = h // hb
 
     wm = _torch_resize_matrix_jnp(w, rw, "bilinear", 1.0 / r, g.dtype)
