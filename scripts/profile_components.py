@@ -60,6 +60,10 @@ def build(part):
         kw = {}
         if part == "swin_shallow3":
             kw = dict(depths=(2, 2, 2, 2))
+        if part == "swin_stage12":
+            kw = dict(depths=(2, 2, 0, 0))
+        if part == "swin_embed":
+            kw = dict(depths=(0, 0, 0, 0))
         if part == "swin_xla":
             kw = dict(attn_impl="xla")
         model = SwinModel(dtype=bf, **kw)
