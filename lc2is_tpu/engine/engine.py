@@ -192,6 +192,7 @@ class Engine:
             and getattr(model, "return_score_map", None) is False
             and pallas_enabled(getattr(model, "attn_impl", "auto"))
         )
+        self._train_uses_fused_loss = use_fused_loss
         train_model = model.clone(return_score_map=True) if use_fused_loss else model
 
         def _fused_or_plain_ce(sm, labels):

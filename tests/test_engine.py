@@ -130,3 +130,27 @@ def test_training_moves_loss(tmp_path):
         eng.params, eng.opt_state, l = eng._train_step(eng.params, eng.opt_state, inputs, labels, r)
         losses.append(float(l["train_loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_engine_fused_loss_path_matches_unfused(tmp_path, monkeypatch):
+    """With LC2IS_PALLAS_INTERPRET=1 the engine's default-loss fast path
+    (low-res score map + fused upsample+CE) must produce the same first-step
+    train loss as the unfused engine."""
+    def mk_engine(out_dir):
+        train_loader, eval_loader = _loaders(n=8, batch=8)
+        return Engine(
+            name="fused-loss", model=_tiny_model(), mesh=make_mesh(),
+            train_loader=train_loader, eval_loader=eval_loader,
+            max_steps=1, max_epoch=1, log_step=1, eval_step=100, save_step=100,
+            out_dir=out_dir, logger="null", lr=1e-3, seed=3,
+        )
+
+    eng_plain = mk_engine(str(tmp_path / "a"))
+    assert not eng_plain._train_uses_fused_loss
+    monkeypatch.setenv("LC2IS_PALLAS_INTERPRET", "1")
+    eng_fused = mk_engine(str(tmp_path / "b"))
+    assert eng_fused._train_uses_fused_loss
+
+    m_plain, _ = eng_plain.train()
+    m_fused, _ = eng_fused.train()
+    assert abs(m_plain["train_loss"] - m_fused["train_loss"]) < 1e-4, (m_plain, m_fused)
