@@ -49,8 +49,17 @@ def main():
 
     train_model = model.clone(return_score_map=True)
 
+    # stop_gradient on the frozen text tower — the optimizer zeroes its
+    # updates but XLA would otherwise still compute its whole backward
+    from lc2is_tpu.engine.optim import frozen_mask
+
+    fmask = frozen_mask(params, zoo.FROZEN_PREFIXES["prompt_aux_cross_a"])
+
     def train_step(p, o, x, y, eps):
         def loss_fn(pp):
+            pp = jax.tree_util.tree_map(
+                lambda leaf, trainable: leaf if trainable else jax.lax.stop_gradient(leaf),
+                pp, fmask)
             out = train_model.apply({"params": pp}, {"pixel_values": x + eps.astype(x.dtype)},
                                     deterministic=False, rngs={"dropout": jax.random.PRNGKey(0)})
             sm = out["outputs"]  # (B, K, 128, 128)

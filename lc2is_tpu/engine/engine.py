@@ -97,6 +97,7 @@ class Engine:
         self.eval_loader = eval_loader
         self.compute_metrics = compute_metrics
         self.num_classes = num_classes
+        self.frozen_prefixes = tuple(frozen_prefixes)
         self.keep_eval_outputs = keep_eval_outputs
         self.seed = seed
         self.rng = jax.random.PRNGKey(seed)
@@ -195,6 +196,22 @@ class Engine:
         self._train_uses_fused_loss = use_fused_loss
         train_model = model.clone(return_score_map=True) if use_fused_loss else model
 
+        # stop_gradient on frozen subtrees: the optimizer already zeroes their
+        # updates (optax multi_transform), but without this XLA still COMPUTES
+        # the whole frozen backward (e.g. the 12-layer CLIP text tower)
+        frozen_prefixes = self.frozen_prefixes
+
+        def _freeze(p):
+            if not frozen_prefixes:
+                return p
+            from lc2is_tpu.engine.optim import frozen_mask
+
+            mask = frozen_mask(p, frozen_prefixes)
+            return jax.tree_util.tree_map(
+                lambda leaf, trainable: leaf if trainable else jax.lax.stop_gradient(leaf),
+                p, mask,
+            )
+
         def _fused_or_plain_ce(sm, labels):
             from lc2is_tpu.ops.fused_ce import upsampled_cross_entropy
 
@@ -211,7 +228,7 @@ class Engine:
 
             def loss_fn(p):
                 variables = dict(params)
-                variables["params"] = p
+                variables["params"] = _freeze(p)
                 out = train_model.apply(variables, inputs, deterministic=False, rngs={"dropout": rng})
                 out = _normalize_output(out)
                 if use_fused_loss:

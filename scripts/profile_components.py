@@ -93,17 +93,46 @@ def build(part):
         x = t(BATCH, 4096, 512)
         fn = lambda x: resize_tokens(x, (64, 64), scale_factor=2, method="bilinear")
         return None, (x,), fn
-    if part == "losspath":
+    if part == "optstep":
+        # AdamW update alone on the flagship param tree (frozen text masked)
+        import optax
+        from lc2is_tpu.engine.optim import make_optimizer
+        from lc2is_tpu.models import zoo as _zoo
+
+        model = _zoo.PromptAuxCrossA(class_names=tuple(f"t{i}" for i in range(151)),
+                                     dtype=bf)
+        pv = t(1, 3, 512, 512)
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), {"pixel_values": pv})
+        params = materialize(shapes)["params"]
+        tx = make_optimizer(params, lr=1e-5, total_steps=100,
+                            frozen_prefixes=_zoo.FROZEN_PREFIXES["prompt_aux_cross_a"])
+        opt_state = tx.init(params)
+        grads = jax.tree_util.tree_map(lambda p: p * 1e-3, params)
+
+        def fn(bundle, eps):  # consumed by the RAW branch in main()
+            p, o, g = bundle
+            g = jax.tree_util.tree_map(lambda x: x + eps.astype(x.dtype), g)
+            updates, o2 = tx.update(g, o, p)
+            p2 = optax.apply_updates(p, updates)
+            return jax.tree_util.tree_leaves(p2)[0]
+
+        return "raw", ((params, opt_state, grads),), fn
+    if part in ("losspath", "losspath_fused"):
         # training-loss tail: finish-resize + CE + aux CE (batch 8 like bench_train)
         from lc2is_tpu.nn.losses import auxiliary_loss, cross_entropy
+        from lc2is_tpu.ops.fused_ce import upsampled_cross_entropy
         from lc2is_tpu.ops.resize import resize
 
+        fused = part.endswith("fused")
         b = 8
         x = t(b, 512, 128, 128)  # low score map (pre-upsample), bf16
         low = t(b, 151, 32, 32)
         y = jnp.asarray(rng.randint(0, 151, size=(b, 512, 512)), jnp.int32)
 
         def fn(x, low, y):
+            if fused:
+                return (upsampled_cross_entropy(x[:, :151], y, 4)
+                        + 0.4 * upsampled_cross_entropy(low, y, 16))
             sm = resize(x[:, :151], scale_factor=4, method="bilinear")
             loss = cross_entropy(sm, y) + 0.4 * auxiliary_loss(low, y)
             return loss
@@ -171,7 +200,14 @@ def main():
 
     # params go through as jit ARGS — closing over them embeds every weight
     # as a multi-MB dense literal and blows the relay payload limit
-    if init is not None:
+    if init == "raw":
+        # fn takes (pytree_bundle, eps) directly
+        params = args[0]
+        args = ()
+        step_fn = lambda p, eps: (
+            jnp.asarray(fn(p, eps), jnp.float32).mean() * jnp.asarray(1e-8, jnp.float32)
+        )
+    elif init is not None:
         shapes = jax.eval_shape(init, jax.random.PRNGKey(0),
                                 *jax.tree_util.tree_map(lambda a: a[:1], args))
         params = materialize(shapes)
