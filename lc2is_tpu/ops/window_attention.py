@@ -341,7 +341,7 @@ def _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
         g = min(block_windows, n)
     else:
         per_window = 5 * p_pad * c * 2 + p_pad * p_pad * 4  # x, qkv(3), attn + logits
-        g = min(max(8, min(32, (2 * 1024 * 1024) // per_window)), n)
+        g = min(max(8, min(64, (6 * 1024 * 1024) // per_window)), n)
         g = max(8, (g // 8) * 8)
     n_pad = ((n + g - 1) // g) * g
     if n_pad != n:
@@ -372,6 +372,7 @@ def _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
         out_specs=pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, p_pad, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((g, p_pad, c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
       wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt),
