@@ -131,9 +131,10 @@ def _fwd_impl(x, k, v, wq, bq, wo, bo, ln_w, ln_b, num_heads, eps, post_ln,
     wdt = x.dtype
 
     if block_q is None:
-        # logits (T, L) f32 + x/q/attn/out blocks; keep ~4 MB activations
+        # logits (T, L) f32 + x/q/attn/out blocks; ~8 MB activations (VMEM
+        # cap raised explicitly below — v5e has 128 MB)
         per_tok = l * 4 + 5 * c * x.dtype.itemsize
-        bt = max(128, min(1024, (4 * 1024 * 1024) // per_tok))
+        bt = max(128, min(1024, (8 * 1024 * 1024) // per_tok))
         bt = (bt // 128) * 128
     else:
         bt = block_q
@@ -160,6 +161,7 @@ def _fwd_impl(x, k, v, wq, bq, wo, bo, ln_w, ln_b, num_heads, eps, post_ln,
         out_specs=pl.BlockSpec((1, bt, c), lambda bb, ii: (bb, ii, 0)),
         out_shape=jax.ShapeDtypeStruct((b, p_pad, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((bt, c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, k.astype(wdt), v.astype(wdt), wq.astype(wdt),
       bq.reshape(1, c).astype(wdt), wo.astype(wdt), bo.reshape(1, c).astype(wdt),

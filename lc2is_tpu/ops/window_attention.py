@@ -756,7 +756,7 @@ def _fused_block_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
             regions = jnp.pad(regions, ((0, 0), (0, p_pad - p)))
 
     per_window = 5 * p_pad * c * 2 + p_pad * p_pad * 4
-    g = min(max(8, min(16, (1024 * 1024) // per_window * 8 // 8)), n)
+    g = min(max(8, min(32, (4 * 1024 * 1024) // per_window)), n)
     g = max(8, (g // 8) * 8)
     n_pad = ((n + g - 1) // g) * g
     if n_pad != n:
@@ -803,6 +803,7 @@ def _fused_block_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((num_heads, p_pad, p_pad), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
       wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt), wo.astype(wdt),
