@@ -123,11 +123,14 @@ class ADE20KDataset:
         size: Optional[int] = None,
         transform: Optional[Callable] = None,
         normalize: str = "imagenet",
+        seed: int = 0,
     ) -> None:
         self.root = root or os.path.join(os.getcwd(), "data/ade20k/data/ADEChallengeData2016")
         self.split = split
         self.transform = transform
         self.normalize = normalize
+        self.seed = seed
+        self.epoch = 0
         self.img_folder = os.path.join(self.root, "images", split)
         self.label_folder = os.path.join(self.root, "annotations", split)
         info_file = os.path.join(self.root, "objectInfo150.txt")
@@ -154,6 +157,17 @@ class ADE20KDataset:
     def __len__(self):
         return len(self.data)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the aug RNG stream (call once per epoch, like a torch
+        DistributedSampler) so every (seed, epoch, index) triple maps to one
+        deterministic augmentation, independent of global RNG state."""
+        self.epoch = int(epoch)
+
+    def _item_seed(self, index: int) -> int:
+        # SeedSequence mixes (base seed, epoch, index) into a well-spread
+        # 31-bit seed; reproducible regardless of np.random global state.
+        return int(np.random.SeedSequence([self.seed, self.epoch, index]).generate_state(1)[0] >> 1)
+
     def __getitem__(self, index: int):
         from PIL import Image
 
@@ -167,8 +181,9 @@ class ADE20KDataset:
             if self.normalize == "imagenet":
                 img = (img - IMAGENET_MEAN[:, None, None]) / IMAGENET_STD[:, None, None]
             # one seed drives both transforms — the deterministic version of
-            # the torch get/set_rng_state trick (dataset.py:145-149)
-            seed = np.random.randint(0, 2 ** 31 - 1)
+            # the torch get/set_rng_state trick (dataset.py:145-149); derived
+            # from (seed, epoch, index), not the global NumPy stream
+            seed = self._item_seed(index)
             img = self.transform(img, seed=seed, is_label=False)[None]
             label = self.transform(label[None].astype(np.float32), seed=seed, is_label=True)[0]
             label = label.astype(np.int64)[None]

@@ -53,6 +53,8 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Any]:
         idx = self._indices()
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)  # advance the per-item aug stream
         self._epoch += 1
         batches = [
             idx[i : i + self.batch_size]

@@ -216,7 +216,8 @@ class Engine:
             from lc2is_tpu.ops.fused_ce import upsampled_cross_entropy
 
             rr = labels.shape[-1] // sm.shape[-1]
-            if rr >= 1 and rr * sm.shape[-1] == labels.shape[-1]:
+            if (rr >= 1 and rr * sm.shape[-1] == labels.shape[-1]
+                    and rr * sm.shape[-2] == labels.shape[-2]):
                 return upsampled_cross_entropy(sm, labels, rr,
                                                interpret=pallas_interpret())
             from lc2is_tpu.ops.resize import resize

@@ -100,7 +100,7 @@ class FTNBlock(nn.Module):
         x = self.attention_block(tgt, memory, deterministic=deterministic)
         if self.upsample == 1:
             return x
-        return resize_tokens(x, (h, h), scale_factor=self.upsample, method="bilinear")
+        return resize_tokens(x, (h, h), scale_factor=self.upsample, method="bilinear", impl=self.attn_impl)
 
 
 class FTNDecoder(nn.Module):
@@ -133,9 +133,9 @@ class FTNDecoder(nn.Module):
         hs = [_grid(t.shape[1]) for t in visual]
 
         top_down_4 = visual[3]
-        top_down_3 = resize_tokens(top_down_4, (hs[3], hs[3]), scale_factor=2, method="bilinear")
+        top_down_3 = resize_tokens(top_down_4, (hs[3], hs[3]), scale_factor=2, method="bilinear", impl=self.attn_impl)
         top_down_3 = self.linear_stage_3(top_down_3)
-        top_down_2 = resize_tokens(top_down_3, (hs[2], hs[2]), scale_factor=2, method="bilinear")
+        top_down_2 = resize_tokens(top_down_3, (hs[2], hs[2]), scale_factor=2, method="bilinear", impl=self.attn_impl)
         top_down_2 = self.linear_stage_2(top_down_2)
         top_down_1 = visual[0]
 
@@ -153,7 +153,7 @@ class FTNDecoder(nn.Module):
 
         s = top_down_2 + top_down_3 + top_down_4
         h = _grid(s.shape[1])
-        return top_down_1 + resize_tokens(s, (h, h), scale_factor=2, method="bilinear")
+        return top_down_1 + resize_tokens(s, (h, h), scale_factor=2, method="bilinear", impl=self.attn_impl)
 
 
 class SelfABlock(nn.Module):
@@ -185,7 +185,7 @@ class SelfABlock(nn.Module):
             x = layer(x, deterministic=deterministic)
         if self.upsample == 1:
             return x
-        return resize_tokens(x, (h, h), scale_factor=self.upsample, method="bilinear")
+        return resize_tokens(x, (h, h), scale_factor=self.upsample, method="bilinear", impl=self.attn_impl)
 
 
 class CrossABlock(nn.Module):
@@ -216,7 +216,7 @@ class CrossABlock(nn.Module):
             x = layer(x, memory, deterministic=deterministic)
         if self.upsample == 1:
             return x
-        return resize_tokens(x, (h, h), scale_factor=self.upsample, method="bilinear")
+        return resize_tokens(x, (h, h), scale_factor=self.upsample, method="bilinear", impl=self.attn_impl)
 
 
 class _HierarchicalBase(nn.Module):
@@ -260,9 +260,9 @@ class _HierarchicalBase(nn.Module):
     def _top_down(self, visual):
         hs = [_grid(t.shape[1]) for t in visual]
         top_down_4 = visual[3]
-        top_down_3 = resize_tokens(top_down_4, (hs[3], hs[3]), scale_factor=2, method="bilinear")
+        top_down_3 = resize_tokens(top_down_4, (hs[3], hs[3]), scale_factor=2, method="bilinear", impl=self.attn_impl)
         top_down_3 = self.linear_stage_3(top_down_3)
-        top_down_2 = resize_tokens(top_down_3, (hs[2], hs[2]), scale_factor=2, method="bilinear")
+        top_down_2 = resize_tokens(top_down_3, (hs[2], hs[2]), scale_factor=2, method="bilinear", impl=self.attn_impl)
         top_down_2 = self.linear_stage_2(top_down_2)
         top_down_1 = visual[0]
         return (
@@ -289,7 +289,7 @@ class HierarchicalSelfA(_HierarchicalBase):
         # streams summed at stage-2 resolution, single deferred x2 (linear)
         s = t2 + t3 + t4
         h = _grid(s.shape[1])
-        return t1 + resize_tokens(s, (h, h), scale_factor=2, method="bilinear")
+        return t1 + resize_tokens(s, (h, h), scale_factor=2, method="bilinear", impl=self.attn_impl)
 
 
 class HierarchicalCrossA(_HierarchicalBase):
@@ -308,7 +308,7 @@ class HierarchicalCrossA(_HierarchicalBase):
         # streams summed at stage-2 resolution, single deferred x2 (linear)
         s = t2 + t3 + t4
         h = _grid(s.shape[1])
-        return t1 + resize_tokens(s, (h, h), scale_factor=2, method="bilinear")
+        return t1 + resize_tokens(s, (h, h), scale_factor=2, method="bilinear", impl=self.attn_impl)
 
 
 class RepeatTransformer(nn.Module):
@@ -351,7 +351,7 @@ class RepeatTransformer(nn.Module):
         for layer in self.trans:
             x = layer(x, mem, deterministic=deterministic)
             if self.upsample:
-                x = resize_tokens(x, (cur_h, cur_h), scale_factor=2, method="bilinear")
+                x = resize_tokens(x, (cur_h, cur_h), scale_factor=2, method="bilinear", impl=self.attn_impl)
                 cur_h *= 2
         return x
 
@@ -384,7 +384,7 @@ class FTNDecoderV2(nn.Module):
         n = len(x)
         add = [None] * n
         for i in range(1, n - 1):
-            r = resize_tokens(x[i + 1], (H[i + 1], H[i + 1]), scale_factor=2, method="bilinear")
+            r = resize_tokens(x[i + 1], (H[i + 1], H[i + 1]), scale_factor=2, method="bilinear", impl=self.attn_impl)
             add[i] = r
         out = [self.linears[i](x[i]) for i in range(n)]
         out = [out[i] + add[i] if i in (1, 2) else out[i] for i in range(n)]

@@ -355,10 +355,13 @@ def _bwd_pallas(x, k, v, wq, bq, wo, bo, ln_w, ln_b, g, num_heads, eps,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, p_pad, c), wdt),
-            # dk/dv accumulate in the compute dtype: f32 pairs with the k/v
-            # double-buffering to overflow VMEM at L=1024/C=512 (18.2 MB)
-            jax.ShapeDtypeStruct((b, l, c), wdt),
-            jax.ShapeDtypeStruct((b, l, c), wdt),
+            # dk/dv accumulate in f32 when the (1, L, C) accumulator pair fits
+            # VMEM (the common 151-key text case) — read-modify-write in bf16
+            # compounds one rounding per query block; above the threshold the
+            # f32 pair plus k/v double-buffering overflows VMEM (18.2 MB at
+            # L=1024/C=512) and the compute dtype is kept
+            jax.ShapeDtypeStruct((b, l, c), jnp.float32 if l * c <= 262144 else wdt),
+            jax.ShapeDtypeStruct((b, l, c), jnp.float32 if l * c <= 262144 else wdt),
             jax.ShapeDtypeStruct((c, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((c, c), jnp.float32),

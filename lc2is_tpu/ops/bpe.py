@@ -140,17 +140,32 @@ class CLIPBPETokenizer:
 
 
 class HashTokenizer:
-    """Deterministic offline fallback: one stable pseudo-token per word."""
+    """Deterministic offline fallback: one stable pseudo-token per word.
+
+    Collision-free within a process: each distinct word reprobes (linear,
+    deterministic) until it lands on an id no other word holds, so two class
+    names can never silently alias in synthetic benchmarks/training."""
+
+    def __init__(self):
+        self._word_to_id: dict = {}
+        self._id_to_word: dict = {}
+
+    def _assign(self, word: str) -> int:
+        if word in self._word_to_id:
+            return self._word_to_id[word]
+        h = np.uint64(14695981039346656037)
+        for b in word.encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * 1099511628211 % (2 ** 64))
+        tid = int(h % np.uint64(SOT - 1)) + 1  # ids in [1, 49405]
+        while tid in self._id_to_word:  # deterministic reprobe on collision
+            tid = tid % (SOT - 1) + 1
+        self._word_to_id[word] = tid
+        self._id_to_word[tid] = word
+        return tid
 
     def encode(self, text: str) -> List[int]:
         text = _whitespace_clean(_basic_clean(text)).lower()
-        out = []
-        for word in re.findall(_PAT, text):
-            h = np.uint64(14695981039346656037)
-            for b in word.encode("utf-8"):
-                h = np.uint64((int(h) ^ b) * 1099511628211 % (2 ** 64))
-            out.append(int(h % np.uint64(SOT - 1)) + 1)  # ids in [1, 49405]
-        return out
+        return [self._assign(word) for word in re.findall(_PAT, text)]
 
 
 _tokenizers: dict = {}

@@ -307,6 +307,7 @@ def upsampled_cross_entropy(
     """== cross_entropy(resize(score_map, scale_factor=r, bilinear), labels)
     without materialising the upsampled map (fwd or bwd)."""
     assert score_map.shape[-1] * r == labels.shape[-1], (score_map.shape, labels.shape, r)
+    assert score_map.shape[-2] * r == labels.shape[-2], (score_map.shape, labels.shape, r)
     if r == 1:
         from lc2is_tpu.nn.losses import cross_entropy
 

@@ -290,6 +290,7 @@ def resize_tokens(
     size=None,
     scale_factor: Optional[float] = None,
     method: str = "bilinear",
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Resize a (B, H*W, C) token grid spatially, staying channels-last.
 
@@ -312,7 +313,7 @@ def resize_tokens(
     ):
         from lc2is_tpu.ops.dispatch import pallas_enabled, pallas_interpret
 
-        if pallas_enabled("auto"):
+        if pallas_enabled(impl):
             from lc2is_tpu.ops.upsample import upsample_tokens
 
             return upsample_tokens(tokens, (h, w), int(scale_factor),

@@ -52,6 +52,27 @@ def infer_param_specs(params, mesh: Mesh) -> Dict:
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def spec_census(params, mesh: Mesh) -> Dict[str, list]:
+    """Which rule matched which param — makes regex drift visible instead of
+    silent (mis)sharding.  Returns {"column": [...], "row": [...],
+    "replicated_2d_weight": [...]} of dotted param paths; the third bucket
+    lists 2-D ``*weight`` leaves NO rule matched (candidates for review)."""
+    census: Dict[str, list] = {"column": [], "row": [], "replicated_2d_weight": []}
+    specs = infer_param_specs(params, mesh)
+
+    def visit(path, leaf, spec):
+        name = _path_str(path)
+        if spec == P(MODEL_AXIS, None):
+            census["column"].append(name)
+        elif spec == P(None, MODEL_AXIS):
+            census["row"].append(name)
+        elif hasattr(leaf, "ndim") and leaf.ndim == 2 and name.endswith("weight"):
+            census["replicated_2d_weight"].append(name)
+
+    jax.tree_util.tree_map_with_path(visit, params, specs)
+    return census
+
+
 def shard_params(params, mesh: Mesh):
     specs = infer_param_specs(params, mesh)
     return jax.tree_util.tree_map(

@@ -37,13 +37,37 @@ def test_fused_window_block_parity(n, p, c, heads, with_regions):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
 
-def test_fused_window_block_grad():
-    x, lw, lb, wqkv, bqkv, wo, bo, bias, _ = _mk(8, 16, 32, 4, seed=1)
+@pytest.mark.parametrize("with_regions", [False, True])
+def test_fused_window_block_grad(with_regions):
+    """Pallas backward vs XLA reference — incl. the shifted-window (regions)
+    path the training step exercises on every odd swin block."""
+    x, lw, lb, wqkv, bqkv, wo, bo, bias, regions = _mk(8, 16, 32, 4, seed=1,
+                                                       with_regions=with_regions)
     g1 = jax.grad(lambda v: fused_window_block(v, lw, lb, wqkv, bqkv, wo, bo,
-                                               bias, None, 4, interpret=True).sum())(x)
+                                               bias, regions, 4, interpret=True).sum())(x)
     g2 = jax.grad(lambda v: _xla_block_reference(v, lw, lb, wqkv, bqkv, wo, bo,
-                                                 None, bias, 4, 1e-5, True).sum())(x)
+                                                 regions, bias, 4, 1e-5, True).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("with_regions", [False, True])
+def test_fused_window_block_weight_grads(with_regions):
+    """dwqkv/dbias/dwo/dbo from the fused Pallas backward vs XLA reference."""
+    x, lw, lb, wqkv, bqkv, wo, bo, bias, regions = _mk(8, 16, 32, 4, seed=6,
+                                                       with_regions=with_regions)
+
+    def run(fn):
+        return jax.grad(
+            lambda wq, bi, w_o: fn(wq, bi, w_o).sum(), argnums=(0, 1, 2)
+        )(wqkv, bias, wo)
+
+    g1 = run(lambda wq, bi, w_o: fused_window_block(
+        x, lw, lb, wq, bqkv, w_o, bo, bi, regions, 4, interpret=True))
+    g2 = run(lambda wq, bi, w_o: _xla_block_reference(
+        x, lw, lb, wq, bqkv, w_o, bo, regions, bi, 4, 1e-5, True))
+    for a, b, name in zip(g1, g2, ("dwqkv", "dbias", "dwo")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
 
 
 @pytest.mark.parametrize("with_regions", [False, True])
