@@ -524,7 +524,10 @@ class PromptAuxSelfA(_PromptFinalBase, _AuxMixin):
     def setup(self):
         self.vision_encoder = self._make_vision()
         self.prompt = self._make_prompt()
-        self.aux_linear = Linear(512)
+        # reference hardcodes nn.Linear(in_dims[-2], 512) (final.py:240); 512
+        # == cfg["text_dim"] in every reference cfg — tied here so tiny test
+        # configs stay consistent
+        self.aux_linear = Linear((self.cfg or default_denseclip_cfg())["text_dim"])
         self.vision_decoder = self._make_decoder(HierarchicalSelfA)
 
     def __call__(self, inputs, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
@@ -541,7 +544,10 @@ class PromptAuxCrossA(_PromptFinalBase, _AuxMixin):
     def setup(self):
         self.vision_encoder = self._make_vision()
         self.prompt = self._make_prompt()
-        self.aux_linear = Linear(512)
+        # reference hardcodes nn.Linear(in_dims[-2], 512) (final.py:311); 512
+        # == cfg["text_dim"] in every reference cfg — tied here so tiny test
+        # configs stay consistent
+        self.aux_linear = Linear((self.cfg or default_denseclip_cfg())["text_dim"])
         self.vision_decoder = self._make_decoder(HierarchicalCrossA)
 
     def __call__(self, inputs, deterministic: bool = True) -> Dict[str, jnp.ndarray]:

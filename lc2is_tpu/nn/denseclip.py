@@ -101,8 +101,14 @@ class CLIPTextContextEncoder(nn.Module):
         ctx = jnp.broadcast_to(context.astype(x_text.dtype), (k, n2, c))
         x = jnp.concatenate([x_text[:, :1], ctx, x_text[:, 1:]], axis=1)  # (K, n1+n2, C)
         x = x + self.positional_embedding.astype(x.dtype)[None, : x.shape[1]]
+        # public DenseCLIP builds the CLIP causal mask (build_attention_mask:
+        # -inf above the diagonal) for the text transformer; without it the
+        # EOT pooling sees future tokens and imported checkpoints silently
+        # produce wrong class embeddings
+        ln = x.shape[1]
+        causal = jnp.triu(jnp.full((ln, ln), -jnp.inf, dtype=jnp.float32), k=1)
         for blk in self.resblocks:
-            x = blk(x)
+            x = blk(x, attn_mask=causal)
         x = self.ln_final(x)
         pooled = x[jnp.arange(k), eot]
         return pooled @ self.text_projection.astype(x.dtype)
@@ -120,9 +126,12 @@ class _PreLNAttention(nn.Module):
 
     def setup(self):
         kw = dict(param_dtype=self.param_dtype)
-        self.q = Linear(self.dim, **kw)
-        self.k = Linear(self.dim, **kw)
-        self.v = Linear(self.dim, **kw)
+        # public DenseCLIP's Attention defaults qkv_bias=False (only the out
+        # proj carries a bias) — bias'd q/k/v here would leave random params
+        # an imported checkpoint never fills
+        self.q = Linear(self.dim, use_bias=False, **kw)
+        self.k = Linear(self.dim, use_bias=False, **kw)
+        self.v = Linear(self.dim, use_bias=False, **kw)
         self.proj = Linear(self.dim, **kw)
         self.drop = Dropout(self.dropout)
 
