@@ -293,12 +293,15 @@ class SwinBlock(nn.Module):
             # the whole attention half — and for C<=512 the MLP half too —
             # runs as one fused kernel on raw x.
             from lc2is_tpu.ops.window_attention import (
-                fused_swin_block, fused_window_block, region_labels)
+                fused_swin_block, fused_window_block, pad_labels, region_labels)
 
             ln_w, ln_b = self.layernorm_before(xw, return_params=True)
             wqkv, bqkv, wo, bo, bias = self.attention.fused_inputs(xw, eff_window=win)
             nW = (hp // win) * (wp // win) if shift else 1
             regions = region_labels(xw.shape[0] // max(nW, 1), hp, wp, win, shift) if shift else None
+            # HF pads AFTER layernorm_before; LN runs inside the kernel, so
+            # canvas-pad tokens are flagged for post-LN re-zeroing there
+            pads = pad_labels(b, h, w, hp, wp, win, shift)
             if fuse_whole:
                 ln2_w, ln2_b = self.layernorm_after(xw, return_params=True)
                 w1, b1 = self.intermediate(xw, return_params=True)
@@ -308,12 +311,13 @@ class SwinBlock(nn.Module):
                 aw = fused_swin_block(
                     xw, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
                     w1, b1, w2, b2, bias, regions, self.num_heads,
-                    interpret=pallas_interpret(),
+                    interpret=pallas_interpret(), pad_mask=pads,
                 )
             else:
                 aw = fused_window_block(
                     xw, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, regions,
                     self.num_heads, residual=True, interpret=pallas_interpret(),
+                    pad_mask=pads,
                 )
         else:
             aw = self.attention(xw, (hp, wp, win, shift), eff_window=win)

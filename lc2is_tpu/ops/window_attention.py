@@ -200,6 +200,32 @@ def region_labels(batch: int, hp: int, wp: int, window: int, shift: int) -> Opti
     return jnp.tile(m, (batch, 1))
 
 
+@functools.lru_cache(maxsize=64)
+def _np_pad_labels(h: int, w: int, hp: int, wp: int, window: int, shift: int) -> Optional[np.ndarray]:
+    """(nW, p) int32, 1 at canvas-pad token positions after [roll +]
+    window-partition; None when the canvas needs no padding."""
+    if h == hp and w == wp:
+        return None
+    canvas = np.zeros((hp, wp), np.int32)
+    canvas[h:, :] = 1
+    canvas[:, w:] = 1
+    if shift:
+        canvas = np.roll(canvas, (-shift, -shift), axis=(0, 1))
+    m = canvas.reshape(hp // window, window, wp // window, window)
+    m = m.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    return m
+
+
+def pad_labels(batch: int, h: int, w: int, hp: int, wp: int, window: int,
+               shift: int) -> Optional[jnp.ndarray]:
+    """(B·nW, p) mask of canvas-pad tokens (must be post-LN zero to match
+    HF's pad-after-layernorm order); None when hp==h and wp==w."""
+    m = _np_pad_labels(h, w, hp, wp, window, shift)
+    if m is None:
+        return None
+    return jnp.tile(jnp.asarray(m), (batch, 1))
+
+
 # ---------------------------------------------------------------------------
 # Fused swin attention block: LN + QKV + window attention + out-proj
 # (+ residual) in one kernel.  The unfused path round-trips LN output and
@@ -220,7 +246,7 @@ def _ln_f32(x, w, b, eps):
 
 
 def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-                  reg_ref, bias_ref, o_ref, attn_sc,
+                  reg_ref, pad_ref, bias_ref, o_ref, attn_sc,
                   *, num_heads, scale, eps, residual):
     g, p, c = x_ref.shape  # p is padded to a sublane-aligned multiple (64)
     dh = c // num_heads
@@ -229,7 +255,11 @@ def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     # sublane-merge because p is 16-aligned (Mosaic rejects it for raw 49)
     x2 = x.reshape(g * p, c)
     h = _ln_f32(x2, lnw_ref[...].astype(jnp.float32), lnb_ref[...].astype(jnp.float32),
-                eps).astype(x.dtype)
+                eps)
+    # HF pads the canvas AFTER layernorm_before: pad tokens enter attention
+    # as post-LN zeros (keys bk, values bv).  LN runs inside this kernel, so
+    # the pad tokens must be re-zeroed here — LN(0)=ln_bias otherwise.
+    h = jnp.where(pad_ref[...].reshape(g * p, 1) != 0, 0.0, h).astype(x.dtype)
     qkv2 = jax.lax.dot_general(
         h, wqkv_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -267,9 +297,12 @@ def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
 
 
 def _xla_block_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
-                         num_heads, eps, residual):
+                         num_heads, eps, residual, pad=None):
     """Differentiable module-composition reference (defines the VJP)."""
-    h = _ln_f32(x, ln_w.astype(jnp.float32), ln_b.astype(jnp.float32), eps).astype(x.dtype)
+    h = _ln_f32(x, ln_w.astype(jnp.float32), ln_b.astype(jnp.float32), eps)
+    if pad is not None:
+        h = jnp.where(pad[..., None] != 0, 0.0, h)
+    h = h.astype(x.dtype)
     c = x.shape[-1]
     qkv = h @ wqkv.astype(h.dtype).T + bqkv.astype(h.dtype)
     q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
@@ -278,49 +311,54 @@ def _xla_block_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
     return proj + x if residual else proj
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
-def _fused_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
-                     has_regions, num_heads, eps, residual, block_windows, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
+def _fused_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad, bias,
+                     has_regions, has_pad, num_heads, eps, residual,
+                     block_windows, interpret):
     return _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo,
-                                 regions if has_regions else None, bias,
+                                 regions if has_regions else None,
+                                 pad if has_pad else None, bias,
                                  num_heads, eps, residual, block_windows, interpret)
 
 
-def _fused_block_fwd(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
-                     has_regions, num_heads, eps, residual, block_windows, interpret):
-    out = _fused_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
-                           has_regions, num_heads, eps, residual, block_windows, interpret)
-    return out, (x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias)
+def _fused_block_fwd(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad, bias,
+                     has_regions, has_pad, num_heads, eps, residual,
+                     block_windows, interpret):
+    out = _fused_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad, bias,
+                           has_regions, has_pad, num_heads, eps, residual,
+                           block_windows, interpret)
+    return out, (x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad, bias)
 
 
-def _fused_block_bwd(has_regions, num_heads, eps, residual, block_windows, interpret,
-                     res, g):
-    x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias = res
+def _fused_block_bwd(has_regions, has_pad, num_heads, eps, residual,
+                     block_windows, interpret, res, g):
+    x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad, bias = res
     c = x.shape[-1]
     if c <= 512:
         # fused Pallas backward (flash-style in-VMEM recompute)
         dx, dlw, dlb, dwq, dbq, dwo, dbo_, dbi = _fused_block_bwd_pallas(
             x, ln_w, ln_b, wqkv, bqkv, wo, bo,
-            regions if has_regions else None, bias, g,
+            regions if has_regions else None,
+            pad if has_pad else None, bias, g,
             num_heads, eps, residual, interpret,
         )
-        return dx, dlw, dlb, dwq, dbq, dwo, dbo_, None, dbi
+        return dx, dlw, dlb, dwq, dbq, dwo, dbo_, None, None, dbi
     _, vjp = jax.vjp(
         lambda x_, lw, lb, wq, bq, wo_, bo_, bi: _xla_block_reference(
             x_, lw, lb, wq, bq, wo_, bo_, regions if has_regions else None, bi,
-            num_heads, eps, residual,
+            num_heads, eps, residual, pad=pad if has_pad else None,
         ),
         x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
     )
     dx, dlw, dlb, dwq, dbq, dwo, dbo, dbi = vjp(g)
-    return dx, dlw, dlb, dwq, dbq, dwo, dbo, None, dbi
+    return dx, dlw, dlb, dwq, dbq, dwo, dbo, None, None, dbi
 
 
 _fused_block_vjp.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
-def _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
-                          num_heads, eps, residual, block_windows, interpret):
+def _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad_mask,
+                          bias, num_heads, eps, residual, block_windows, interpret):
     n, p, c = x.shape
     dh = c // num_heads
     scale = 1.0 / np.sqrt(dh)
@@ -336,6 +374,8 @@ def _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, p_pad - p)), constant_values=NEG)
         if regions is not None:
             regions = jnp.pad(regions, ((0, 0), (0, p_pad - p)))
+        if pad_mask is not None:
+            pad_mask = jnp.pad(pad_mask, ((0, 0), (0, p_pad - p)))
 
     if block_windows is not None:
         g = min(block_windows, n)
@@ -351,6 +391,10 @@ def _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
         regions = jnp.zeros((n_pad, p_pad), jnp.int32)
     elif regions.shape[0] != n_pad:
         regions = jnp.pad(regions, ((0, n_pad - regions.shape[0]), (0, 0)))
+    if pad_mask is None:
+        pad_mask = jnp.zeros((n_pad, p_pad), jnp.int32)
+    elif pad_mask.shape[0] != n_pad:
+        pad_mask = jnp.pad(pad_mask, ((0, n_pad - pad_mask.shape[0]), (0, 0)))
 
     from jax.experimental.pallas import tpu as pltpu
 
@@ -367,6 +411,7 @@ def _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
             pl.BlockSpec((c, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((g, p_pad), lambda i: (i, 0)),
+            pl.BlockSpec((g, p_pad), lambda i: (i, 0)),
             pl.BlockSpec((num_heads, p_pad, p_pad), lambda i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),
@@ -376,7 +421,7 @@ def _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
         interpret=interpret,
     )(x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
       wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt),
-      wo.astype(wdt), bo.reshape(1, c).astype(wdt), regions,
+      wo.astype(wdt), bo.reshape(1, c).astype(wdt), regions, pad_mask,
       bias.astype(jnp.float32))
     return out[:n, :p]
 
@@ -394,14 +439,15 @@ def fused_window_block(
     residual: bool = True,
     block_windows: Optional[int] = None,
     interpret: bool = False,
+    pad_mask: Optional[jnp.ndarray] = None,  # (N, p) nonzero at canvas-pad tokens
 ) -> jnp.ndarray:
     """out = [x +] proj(window_attn(qkv(LN(x)))) — one VMEM pass."""
-    if regions is None:
-        dummy = jnp.zeros((x.shape[0], x.shape[1]), jnp.int32)
-        return _fused_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, dummy, bias,
-                                False, num_heads, eps, residual, block_windows, interpret)
-    return _fused_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
-                            True, num_heads, eps, residual, block_windows, interpret)
+    dummy = jnp.zeros((x.shape[0], x.shape[1]), jnp.int32)
+    return _fused_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo,
+                            dummy if regions is None else regions,
+                            dummy if pad_mask is None else pad_mask, bias,
+                            regions is not None, pad_mask is not None,
+                            num_heads, eps, residual, block_windows, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -415,7 +461,7 @@ def fused_window_block(
 
 def _swin_block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                        ln2w_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                       reg_ref, bias_ref, o_ref, attn_sc,
+                       reg_ref, pad_ref, bias_ref, o_ref, attn_sc,
                        *, num_heads, scale, eps):
     from lc2is_tpu.ops.fused_mlp import _erf_f32
 
@@ -424,7 +470,10 @@ def _swin_block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_r
     x = x_ref[...]
     x2 = x.reshape(g * p, c)
     h = _ln_f32(x2, lnw_ref[...].astype(jnp.float32), lnb_ref[...].astype(jnp.float32),
-                eps).astype(x.dtype)
+                eps)
+    # HF pad-after-LN semantics (see _block_kernel); the MLP half needs no
+    # masking — it is per-token and pad outputs are cropped by the caller
+    h = jnp.where(pad_ref[...].reshape(g * p, 1) != 0, 0.0, h).astype(x.dtype)
     qkv2 = jax.lax.dot_general(
         h, wqkv_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -475,49 +524,54 @@ def _swin_block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_r
 
 def _xla_swin_block_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo,
                               ln2_w, ln2_b, w1, b1, w2, b2, regions, bias,
-                              num_heads, eps):
+                              num_heads, eps, pad=None):
     x1 = _xla_block_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
-                              num_heads, eps, True)
+                              num_heads, eps, True, pad=pad)
     h2 = _ln_f32(x1, ln2_w.astype(jnp.float32), ln2_b.astype(jnp.float32), eps).astype(x1.dtype)
     u = jax.nn.gelu(h2 @ w1.astype(h2.dtype).T + b1.astype(h2.dtype), approximate=False)
     return x1 + (u @ w2.astype(u.dtype).T + b2.astype(u.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20, 21))
 def _swin_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b, w1, b1, w2, b2,
-                    regions, bias, has_regions, num_heads, eps, block_windows, interpret):
+                    regions, pad, bias, has_regions, has_pad, num_heads, eps,
+                    block_windows, interpret):
     return _swin_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo,
                                 ln2_w, ln2_b, w1, b1, w2, b2,
-                                regions if has_regions else None, bias,
+                                regions if has_regions else None,
+                                pad if has_pad else None, bias,
                                 num_heads, eps, block_windows, interpret)
 
 
 def _swin_block_fwd(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b, w1, b1, w2, b2,
-                    regions, bias, has_regions, num_heads, eps, block_windows, interpret):
+                    regions, pad, bias, has_regions, has_pad, num_heads, eps,
+                    block_windows, interpret):
     out = _swin_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
-                          w1, b1, w2, b2, regions, bias, has_regions, num_heads,
-                          eps, block_windows, interpret)
+                          w1, b1, w2, b2, regions, pad, bias, has_regions,
+                          has_pad, num_heads, eps, block_windows, interpret)
     return out, (x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b, w1, b1, w2, b2,
-                 regions, bias)
+                 regions, pad, bias)
 
 
-def _swin_block_bwd(has_regions, num_heads, eps, block_windows, interpret, res, g):
+def _swin_block_bwd(has_regions, has_pad, num_heads, eps, block_windows, interpret,
+                    res, g):
     (x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b, w1, b1, w2, b2,
-     regions, bias) = res
+     regions, pad, bias) = res
     _, vjp = jax.vjp(
         lambda *a: _xla_swin_block_reference(
-            *a[:13], regions if has_regions else None, a[13], num_heads, eps),
+            *a[:13], regions if has_regions else None, a[13], num_heads, eps,
+            pad=pad if has_pad else None),
         x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b, w1, b1, w2, b2, bias,
     )
     grads = vjp(g)
-    return (*grads[:13], None, grads[13])
+    return (*grads[:13], None, None, grads[13])
 
 
 _swin_block_vjp.defvjp(_swin_block_fwd, _swin_block_bwd)
 
 
 def _swin_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
-                         w1, b1, w2, b2, regions, bias, num_heads, eps,
+                         w1, b1, w2, b2, regions, pad_mask, bias, num_heads, eps,
                          block_windows, interpret):
     n, p, c = x.shape
     f = w1.shape[0]
@@ -532,6 +586,8 @@ def _swin_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, p_pad - p)), constant_values=NEG)
         if regions is not None:
             regions = jnp.pad(regions, ((0, 0), (0, p_pad - p)))
+        if pad_mask is not None:
+            pad_mask = jnp.pad(pad_mask, ((0, 0), (0, p_pad - p)))
 
     if block_windows is not None:
         g = min(block_windows, n)
@@ -547,6 +603,10 @@ def _swin_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
         regions = jnp.zeros((n_pad, p_pad), jnp.int32)
     elif regions.shape[0] != n_pad:
         regions = jnp.pad(regions, ((0, n_pad - regions.shape[0]), (0, 0)))
+    if pad_mask is None:
+        pad_mask = jnp.zeros((n_pad, p_pad), jnp.int32)
+    elif pad_mask.shape[0] != n_pad:
+        pad_mask = jnp.pad(pad_mask, ((0, n_pad - pad_mask.shape[0]), (0, 0)))
 
     from jax.experimental.pallas import tpu as pltpu
 
@@ -568,6 +628,7 @@ def _swin_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
             pl.BlockSpec((c, f), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((g, p_pad), lambda i: (i, 0)),
+            pl.BlockSpec((g, p_pad), lambda i: (i, 0)),
             pl.BlockSpec((num_heads, p_pad, p_pad), lambda i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),
@@ -580,7 +641,7 @@ def _swin_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
       ln2_w.reshape(1, c).astype(wdt), ln2_b.reshape(1, c).astype(wdt),
       w1.astype(wdt), b1.reshape(1, f).astype(wdt),
       w2.astype(wdt), b2.reshape(1, c).astype(wdt),
-      regions, bias.astype(jnp.float32))
+      regions, pad_mask, bias.astype(jnp.float32))
     return out[:n, :p]
 
 
@@ -594,16 +655,16 @@ def fused_swin_block(
     eps: float = 1e-5,
     block_windows: Optional[int] = None,
     interpret: bool = False,
+    pad_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Whole swin block (attention + MLP halves) in one VMEM pass."""
-    if regions is None:
-        dummy = jnp.zeros((x.shape[0], x.shape[1]), jnp.int32)
-        return _swin_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
-                               w1, b1, w2, b2, dummy, bias, False, num_heads,
-                               eps, block_windows, interpret)
+    dummy = jnp.zeros((x.shape[0], x.shape[1]), jnp.int32)
     return _swin_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
-                           w1, b1, w2, b2, regions, bias, True, num_heads,
-                           eps, block_windows, interpret)
+                           w1, b1, w2, b2,
+                           dummy if regions is None else regions,
+                           dummy if pad_mask is None else pad_mask, bias,
+                           regions is not None, pad_mask is not None,
+                           num_heads, eps, block_windows, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -632,7 +693,7 @@ def _ln_bwd(dy, xf, w, eps):
 
 
 def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
-                      reg_ref, bias_ref, g_ref,
+                      reg_ref, pad_ref, bias_ref, g_ref,
                       dx_ref, dlnw_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                       dwo_ref, dbo_ref, dbias_ref,
                       *, num_heads, scale, eps, residual):
@@ -658,7 +719,8 @@ def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
 
     # ---- recompute forward ----
     xf = x2.astype(jnp.float32)
-    h = _ln_f32(x2, lnw, lnb, eps).astype(x.dtype)
+    padm = pad_ref[...].reshape(rows, 1) != 0
+    h = jnp.where(padm, 0.0, _ln_f32(x2, lnw, lnb, eps)).astype(x.dtype)
     qkv2 = jax.lax.dot_general(h, wqkv_ref[...], (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     qkv2 = qkv2 + bqkv_ref[...].astype(jnp.float32)
@@ -728,6 +790,9 @@ def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
     ).astype(dwqkv_ref.dtype)
     dhf = jax.lax.dot_general(dqkv2b, wqkv_ref[...], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
+    # pad tokens were forced to post-LN zero in the forward: no gradient
+    # flows through their LN (dx, dln_w, dln_b contributions all zero)
+    dhf = jnp.where(padm, 0.0, dhf)
     dx_ln, dw_rows, db_rows = _ln_bwd(dhf, xf, lnw, eps)
     dlnw_ref[...] += jnp.sum(dw_rows, axis=0, keepdims=True).astype(dlnw_ref.dtype)
     dlnb_ref[...] += jnp.sum(db_rows, axis=0, keepdims=True).astype(dlnb_ref.dtype)
@@ -735,8 +800,8 @@ def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
     dx_ref[...] = dx.reshape(g_, p, c).astype(dx_ref.dtype)
 
 
-def _fused_block_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
-                            g_out, num_heads, eps, residual, interpret):
+def _fused_block_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad_mask,
+                            bias, g_out, num_heads, eps, residual, interpret):
     """pallas_call driver for _block_bwd_kernel; returns grads for
     (x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias)."""
     from jax.experimental.pallas import tpu as pltpu
@@ -754,6 +819,8 @@ def _fused_block_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, p_pad - p)), constant_values=NEG)
         if regions is not None:
             regions = jnp.pad(regions, ((0, 0), (0, p_pad - p)))
+        if pad_mask is not None:
+            pad_mask = jnp.pad(pad_mask, ((0, 0), (0, p_pad - p)))
 
     per_window = 5 * p_pad * c * 2 + p_pad * p_pad * 4
     g = min(max(8, min(32, (4 * 1024 * 1024) // per_window)), n)
@@ -766,6 +833,10 @@ def _fused_block_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
         regions = jnp.zeros((n_pad, p_pad), jnp.int32)
     elif regions.shape[0] != n_pad:
         regions = jnp.pad(regions, ((0, n_pad - regions.shape[0]), (0, 0)))
+    if pad_mask is None:
+        pad_mask = jnp.zeros((n_pad, p_pad), jnp.int32)
+    elif pad_mask.shape[0] != n_pad:
+        pad_mask = jnp.pad(pad_mask, ((0, n_pad - pad_mask.shape[0]), (0, 0)))
 
     const = lambda i: (0, 0)
     outs = pl.pallas_call(
@@ -779,6 +850,7 @@ def _fused_block_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
             pl.BlockSpec((3 * c, c), const),
             pl.BlockSpec((1, 3 * c), const),
             pl.BlockSpec((c, c), const),
+            pl.BlockSpec((g, p_pad), lambda i: (i, 0)),
             pl.BlockSpec((g, p_pad), lambda i: (i, 0)),
             pl.BlockSpec((num_heads, p_pad, p_pad), lambda i: (0, 0, 0)),
             pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),
@@ -807,7 +879,7 @@ def _fused_block_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
         interpret=interpret,
     )(x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
       wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt), wo.astype(wdt),
-      regions, bias.astype(jnp.float32), g_out)
+      regions, pad_mask, bias.astype(jnp.float32), g_out)
 
     dx, dlnw, dlnb, dwqkv, dbqkv, dwo, dbo, dbias = outs
     return (dx[:n, :p],

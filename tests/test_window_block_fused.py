@@ -70,6 +70,61 @@ def test_fused_window_block_weight_grads(with_regions):
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+def test_swin_pad_after_ln_parity_nonzero_ln_bias():
+    """HF pads the canvas AFTER layernorm_before; the fused kernels run LN
+    inside and must re-zero pad tokens.  Catches the silent deviation that
+    only shows with nonzero LN biases (any trained checkpoint) at
+    window-non-divisible grids — fresh-init goldens have LN bias == 0."""
+    import os
+
+    import flax  # noqa: F401
+    from lc2is_tpu.nn.swin import SwinModel
+
+    cfg = dict(embed_dim=16, depths=(2, 2, 2, 2), num_heads=(1, 2, 4, 8),
+               window=4, drop_path_rate=0.0)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 60, 60), jnp.float32)
+    m = SwinModel(attn_impl="xla", **cfg)
+    params = dict(m.init(jax.random.PRNGKey(0), x))
+    rs = np.random.RandomState(1)
+
+    def perturb(tree, path=""):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                perturb(v, path + k + "/")
+            elif k == "bias" and "layernorm_before" in path:
+                tree[k] = jnp.asarray(rs.randn(*v.shape) * 0.5, v.dtype)
+
+    perturb(params["params"] if "params" in params else params)
+    out_x = m.apply(params, x)
+    os.environ["LC2IS_PALLAS_INTERPRET"] = "1"
+    try:
+        out_p = SwinModel(attn_impl="auto", **cfg).apply(params, x)
+    finally:
+        os.environ.pop("LC2IS_PALLAS_INTERPRET", None)
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.parametrize("with_regions", [False, True])
+def test_fused_window_block_pad_mask_grad(with_regions):
+    """Pallas backward with a pad mask vs the XLA reference."""
+    x, lw, lb, wqkv, bqkv, wo, bo, bias, regions = _mk(8, 16, 32, 4, seed=9,
+                                                       with_regions=with_regions)
+    lb = lb + 0.5  # nonzero LN bias so pad handling actually matters
+    rs = np.random.RandomState(10)
+    pad = jnp.asarray(rs.randint(0, 2, (8, 16)), jnp.int32)
+
+    from lc2is_tpu.ops.window_attention import _xla_block_reference as xref
+
+    g1 = jax.grad(lambda v: fused_window_block(
+        v, lw, lb, wqkv, bqkv, wo, bo, bias, regions, 4,
+        interpret=True, pad_mask=pad).sum())(x)
+    g2 = jax.grad(lambda v: xref(
+        v, lw, lb, wqkv, bqkv, wo, bo, regions, bias, 4, 1e-5, True,
+        pad=pad).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("with_regions", [False, True])
 def test_fused_swin_block_parity(with_regions):
     n, p, c, heads, f = 12, 49, 32, 2, 128
