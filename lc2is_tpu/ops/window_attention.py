@@ -259,7 +259,10 @@ def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     # HF pads the canvas AFTER layernorm_before: pad tokens enter attention
     # as post-LN zeros (keys bk, values bv).  LN runs inside this kernel, so
     # the pad tokens must be re-zeroed here — LN(0)=ln_bias otherwise.
-    h = jnp.where(pad_ref[...].reshape(g * p, 1) != 0, 0.0, h).astype(x.dtype)
+    # (unsqueeze on the int32 (g, p) mask — a (g·p, 1) reshape is a
+    # minor-dim insert Mosaic cannot lower)
+    h = jnp.where(pad_ref[...][:, :, None] != 0, 0.0,
+                  h.reshape(g, p, c)).reshape(g * p, c).astype(x.dtype)
     qkv2 = jax.lax.dot_general(
         h, wqkv_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -473,7 +476,8 @@ def _swin_block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_r
                 eps)
     # HF pad-after-LN semantics (see _block_kernel); the MLP half needs no
     # masking — it is per-token and pad outputs are cropped by the caller
-    h = jnp.where(pad_ref[...].reshape(g * p, 1) != 0, 0.0, h).astype(x.dtype)
+    h = jnp.where(pad_ref[...][:, :, None] != 0, 0.0,
+                  h.reshape(g, p, c)).reshape(g * p, c).astype(x.dtype)
     qkv2 = jax.lax.dot_general(
         h, wqkv_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -719,8 +723,12 @@ def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
 
     # ---- recompute forward ----
     xf = x2.astype(jnp.float32)
-    padm = pad_ref[...].reshape(rows, 1) != 0
-    h = jnp.where(padm, 0.0, _ln_f32(x2, lnw, lnb, eps)).astype(x.dtype)
+    # (g_, p, 1) int32-unsqueeze mask — a (rows, 1) reshape is a minor-dim
+    # insert Mosaic cannot lower
+    padm = pad_ref[...][:, :, None] != 0
+    _mask_pad = lambda t: jnp.where(padm, 0.0,
+                                    t.reshape(g_, p, c)).reshape(rows, c)
+    h = _mask_pad(_ln_f32(x2, lnw, lnb, eps)).astype(x.dtype)
     qkv2 = jax.lax.dot_general(h, wqkv_ref[...], (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     qkv2 = qkv2 + bqkv_ref[...].astype(jnp.float32)
@@ -792,7 +800,7 @@ def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
                               preferred_element_type=jnp.float32)
     # pad tokens were forced to post-LN zero in the forward: no gradient
     # flows through their LN (dx, dln_w, dln_b contributions all zero)
-    dhf = jnp.where(padm, 0.0, dhf)
+    dhf = _mask_pad(dhf)
     dx_ln, dw_rows, db_rows = _ln_bwd(dhf, xf, lnw, eps)
     dlnw_ref[...] += jnp.sum(dw_rows, axis=0, keepdims=True).astype(dlnw_ref.dtype)
     dlnb_ref[...] += jnp.sum(db_rows, axis=0, keepdims=True).astype(dlnb_ref.dtype)
