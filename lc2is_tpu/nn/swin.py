@@ -268,6 +268,35 @@ class SwinBlock(nn.Module):
 
         fuse_attn = pallas_enabled(self.attn_impl) and (deterministic or self.drop_path == 0.0)
 
+        import os as _os
+
+        # canvas-direct kernel: no pad/roll/partition/reverse layout ops at
+        # all — the kernel reads the raw (B, H, W, C) canvas (ops/swin_canvas).
+        # Only a win where layout dominates attention: stages 1-2 (C<=192).
+        # Measured v5e 512²/b16 ms/block (canvas vs windowed): s1 4.14/5.38
+        # shift0, 4.30/6.10 shift3; s2 2.88/3.07, 2.87/3.32; s3 3.03/2.36
+        # shift0 (windowed wins) — hence the C gate.
+        use_canvas = (fuse_attn and c <= 192
+                      and _os.environ.get("LC2IS_SWIN_CANVAS", "1") != "0"
+                      and _os.environ.get("LC2IS_SWIN_MERGED") != "1")
+        if use_canvas:
+            from lc2is_tpu.ops.swin_canvas import swin_canvas_block
+
+            ln_w, ln_b = self.layernorm_before(x, return_params=True)
+            wqkv, bqkv, wo, bo, bias = self.attention.fused_inputs(x, eff_window=win)
+            yc = swin_canvas_block(
+                x.reshape(b, h, w, c), ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                self.num_heads, win, shift, interpret=pallas_interpret())
+            x = yc.reshape(b, p, c)
+            from lc2is_tpu.ops.fused_mlp import fused_mlp
+
+            ln_w2, ln_b2 = self.layernorm_after(x, return_params=True)
+            w1, b1 = self.intermediate(x, return_params=True)
+            ff_dim = int(self.dim * self.mlp_ratio)
+            w2, b2 = self.output(jax.ShapeDtypeStruct((ff_dim,), x.dtype), return_params=True)
+            return fused_mlp(x, ln_w2, ln_b2, w1, b1, w2, b2, activation="gelu",
+                             ln_position="pre", interpret=pallas_interpret())
+
         shortcut = x
         if not fuse_attn:
             x = self.layernorm_before(x)

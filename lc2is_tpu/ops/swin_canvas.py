@@ -1,0 +1,316 @@
+"""Canvas-direct fused Swin window-attention kernel (no-roll, no-partition).
+
+The windowed path (nn/swin.py + ops/window_attention.py) spends more HBM
+time on layout than on attention at 512²: pad, roll, window-partition
+(reshape+transpose), window-reverse, roll-back, crop — ~6 full-canvas
+traversals per block, two of them 7-granular transposes XLA executes far
+below bandwidth (measured: swin fwd 17.4 GB HBM, 507 GB/s, 1 TFLOP/s).
+
+This kernel reads the RAW (B, H, W, C) canvas and does everything inside:
+
+- grid (B, n_strips); each step loads one window-row strip directly from the
+  canvas via two overlapping row-blocks (the shifted grid's offset is not a
+  multiple of the window, so a strip spans two window-aligned blocks);
+- the shifted-window roll is replaced by OFFSET WINDOWS: window (i, j) covers
+  canvas rows/cols [i·win − o, …) with o = (win − shift) % win.  Under the
+  9-region mask this is numerically IDENTICAL to HF's roll + mask: every
+  token only attends within its region, and the roll is pure transport (see
+  the region-label arithmetic below);
+- HF's zero-pad-after-layernorm semantics (transformers SwinLayer.maybe_pad)
+  are reproduced by labels computed from iota: tokens at HF-pad positions
+  (row ≥ H or col ≥ W, inside the HF-padded canvas) are forced to post-LN
+  zero but PARTICIPATE in attention (keys bk, values bv), exactly like HF's
+  zero pad rows; positions outside the HF canvas ("void": the offset
+  windows' leading fragments and the geometric 7→8 padding) are masked out
+  of attention entirely;
+- in-VMEM layout: strip (win, Wc, C) → transpose → (Wc, 8, C) → split/pad →
+  (nw, 64, C) token blocks (token order c·8+r — the relative-position bias
+  is permuted to match outside the kernel), one packed QKV matmul, per-head
+  attention with label masking, out-proj + residual, inverse layout, strip
+  write.
+
+HBM traffic per block becomes read 2×canvas + write 1×canvas (+1 crop copy
+outside) with zero XLA layout ops.  Matches HF SwinModel semantics
+(reference anchor: model/encoder.py:121-131); parity pinned by
+tests/test_swin_canvas.py against the windowed XLA reference.
+
+Backward: reconstructs the windowed layout with XLA (pad/roll/partition) and
+reuses ops/window_attention's Pallas backward kernel — training cost is
+unchanged; the canvas path accelerates the forward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+PW = 8  # padded window (win=7 → 8): legal f32 sublane merges
+
+
+def _geom(h: int, w: int, win: int, shift: int):
+    o = (win - shift) % win if shift else 0
+    hp = ((h + win - 1) // win) * win  # HF padded canvas
+    wp = ((w + win - 1) // win) * win
+    ns = -(-(h + o) // win)  # strips cover rows [-o, ns·win − o) ⊇ [0, h]
+    nw = -(-(w + o) // win)
+    return o, hp, wp, ns, nw
+
+
+@functools.lru_cache(maxsize=8)
+def _token_perm(win: int) -> np.ndarray:
+    """(64,) map from kernel token order t = c·8 + r to standard r·win + c;
+    invalid slots (r ≥ win or c ≥ win) point at 0 (they are label-masked)."""
+    idx = np.zeros(PW * PW, np.int64)
+    for c in range(win):
+        for r in range(win):
+            idx[c * PW + r] = r * win + c
+    return idx
+
+
+def permute_bias(bias: jnp.ndarray, win: int) -> jnp.ndarray:
+    """(H, win², win²) → (H, 64, 64) in kernel token order."""
+    idx = jnp.asarray(_token_perm(win))
+    return bias[:, idx][:, :, idx].astype(jnp.float32)
+
+
+def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp):
+    """(ns·nw, 64) region labels (-1 = void) + zero mask, canvas-global."""
+    t = jax.lax.broadcasted_iota(jnp.int32, (ns * nw, PW * PW), 1)
+    sj = jax.lax.broadcasted_iota(jnp.int32, (ns * nw, PW * PW), 0)
+    i = sj // nw
+    j = sj - i * nw
+    c_in = t // PW
+    r_in = t - c_in * PW
+    row = i * win - o + r_in
+    col = j * win - o + c_in
+    void = ((r_in >= win) | (row < 0) | (row >= Hp)
+            | (c_in >= win) | (col < 0) | (col >= Wp))
+    hfpad = (row >= H) | (col >= W)
+    if shift:
+        rrow = row - shift + jnp.where(row < shift, Hp, 0)
+        rcol = col - shift + jnp.where(col < shift, Wp, 0)
+        rh = (rrow >= Hp - win).astype(jnp.int32) + (rrow >= Hp - shift).astype(jnp.int32)
+        rc = (rcol >= Wp - win).astype(jnp.int32) + (rcol >= Wp - shift).astype(jnp.int32)
+        lab = rh * 3 + rc
+    else:
+        lab = jnp.zeros((ns * nw, PW * PW), jnp.int32)
+    lab = jnp.where(void, -1, lab)
+    zero = (void | hfpad).astype(jnp.int32)  # int32: bool unsqueeze unsupported
+    return lab, zero
+
+
+def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                   wo_ref, bo_ref, bias_ref, o_ref,
+                   *, num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
+                   ns, nw, wc):
+    """One image per grid step: LN+QKV once over the canvas, per-strip
+    window layout in VMEM, batched attention over all ns·nw windows."""
+    hb_rows = ns * win
+    c = x_ref.shape[-1]
+    dh = c // num_heads
+    X = x_ref[0].astype(jnp.float32)  # (Hb, W, C); rows >= H are garbage
+
+    # ---- whole-canvas LN + HF pad-after-LN zeroing (canvas-global mask) ----
+    x2 = X.reshape(hb_rows * W, c)
+    mean = x2.mean(axis=-1, keepdims=True)
+    var = ((x2 - mean) ** 2).mean(axis=-1, keepdims=True)
+    hn = (x2 - mean) * jax.lax.rsqrt(var + eps)
+    hn = hn * lnw_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
+    h3 = hn.reshape(hb_rows, W, c)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, W), 0)
+    # where (not multiply): kills NaN from uninitialised out-of-bounds rows.
+    # The unsqueeze happens on the int32 (bool minor-dim inserts are
+    # unsupported on TPU); the comparison then yields a 3-D i1 directly.
+    h3 = jnp.where(rr[:, :, None] >= H, 0.0, h3)
+    # (cols beyond W do not exist in the block; the strip transform pads
+    # them with zeros, which is exactly the HF zero-pad value)
+
+    # ---- canvas → (ns·nw, 64, C) tokens ----
+    # Strips tile the row range [-o, ns·win − o) CONTIGUOUSLY, so the whole
+    # "per-strip extraction" is one top/left zero pad of the canvas — no
+    # slicing loop at all.
+    def transform(canvas):
+        cat = canvas  # (hb_rows, W, C)
+        if o:
+            cat = jnp.concatenate(
+                [jnp.zeros((o, W, c), jnp.float32), cat[: hb_rows - o]], axis=0)
+        cols = [cat]
+        if o:
+            cols.insert(0, jnp.zeros((hb_rows, o, c), jnp.float32))
+        if wc - o - W:
+            cols.append(jnp.zeros((hb_rows, wc - o - W, c), jnp.float32))
+        cat = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cat  # (hb, wc, C)
+        cat = cat.reshape(ns, win, wc, c)
+        cat = jnp.concatenate(
+            [cat, jnp.zeros((ns, PW - win, wc, c), jnp.float32)], axis=1)  # pad rows
+        cat = cat.reshape(ns * PW, wc, c)
+        cat = jnp.swapaxes(cat, 0, 1)                      # (Wc, ns·8, C)
+        cat = cat.reshape(nw, win, ns, PW, c)              # split major Wc
+        cat = jnp.concatenate(
+            [cat, jnp.zeros((nw, PW - win, ns, PW, c), jnp.float32)], axis=1)
+        cat = jnp.moveaxis(cat, 2, 0)                      # (ns, nw, 8, 8, C) major permute
+        return cat.reshape(ns * nw, PW * PW, c)            # t = c_in·8 + r_in
+
+    hw = transform(h3)  # (ns·nw, 64, C) f32 post-LN tokens
+
+    lab, zero = _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp)
+    hw = jnp.where(zero[:, :, None] != 0, 0.0, hw)
+
+    # ---- packed QKV: one matmul over all tokens ----
+    hb2 = hw.astype(o_ref.dtype).reshape(ns * nw * PW * PW, c)
+    qkv2 = jax.lax.dot_general(hb2, wqkv_ref[...], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    qkv2 = qkv2 + bqkv_ref[...].astype(jnp.float32)
+    qkv = qkv2.astype(o_ref.dtype).reshape(ns * nw, PW * PW, 3 * c)
+
+    # ---- batched per-head window attention with label masking ----
+    masked = (lab[:, :, None] != lab[:, None, :]) | (lab[:, None, :] == -1)
+    outs = []
+    for hd in range(num_heads):
+        qh = qkv[:, :, hd * dh:(hd + 1) * dh]
+        kh = qkv[:, :, c + hd * dh: c + (hd + 1) * dh]
+        vh = qkv[:, :, 2 * c + hd * dh: 2 * c + (hd + 1) * dh]
+        logits = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+        logits = logits * scale + bias_ref[hd][None]
+        logits = jnp.where(masked, NEG, logits)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            probs.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype))
+    attn = jnp.concatenate(outs, axis=-1)  # (ns·nw, 64, C)
+
+    proj = jax.lax.dot_general(attn.reshape(ns * nw * PW * PW, c), wo_ref[...],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    proj = (proj + bo_ref[...].astype(jnp.float32)).reshape(ns * nw, PW * PW, c)
+
+    # ---- inverse layout (residual added in canvas space) ----
+    y = jnp.moveaxis(proj.reshape(ns, nw, PW, PW, c), 0, 2)  # (nw, 8, ns, 8, C)
+    y = y[:, :win].reshape(wc, ns * PW, c)
+    y = jnp.swapaxes(y, 0, 1)                                # (ns·8, Wc, C)
+    y = y.reshape(ns, PW, wc, c)[:, :win].reshape(ns * win, wc, c)
+    if o:
+        # undo the offset-window shift: canvas (row, col) lives at strip
+        # position (row + o, col + o)
+        y = y[:, o:]
+        y = jnp.concatenate(
+            [y[o:], jnp.zeros((o, y.shape[1], c), jnp.float32)], axis=0)
+    y = y[:, :W]
+    o_ref[0] = (y + X).astype(o_ref.dtype)
+
+
+def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
+                     win, shift, eps, interpret):
+    b, h, w, c = x.shape
+    o, hp, wp, ns, nw = _geom(h, w, win, shift)
+    wc = nw * win
+    dh = c // num_heads
+    scale = 1.0 / np.sqrt(dh)
+    wdt = x.dtype
+    bias_p = permute_bias(bias, win)
+
+    kw = dict(num_heads=num_heads, scale=scale, eps=eps, win=win,
+              shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc)
+    const2 = lambda bb: (0, 0)
+    hb_rows = ns * win
+
+    out = pl.pallas_call(
+        functools.partial(_canvas_kernel, **kw),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hb_rows, w, c), lambda bb: (bb, 0, 0, 0)),
+            pl.BlockSpec((1, c), const2),
+            pl.BlockSpec((1, c), const2),
+            pl.BlockSpec((3 * c, c), const2),
+            pl.BlockSpec((1, 3 * c), const2),
+            pl.BlockSpec((c, c), const2),
+            pl.BlockSpec((1, c), const2),
+            pl.BlockSpec((num_heads, PW * PW, PW * PW), lambda bb: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hb_rows, w, c), lambda bb: (bb, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hb_rows, w, c), wdt),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )(x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
+      wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt),
+      wo.astype(wdt), bo.reshape(1, c).astype(wdt), bias_p)
+    return out[:, :h]
+
+
+def _xla_canvas_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
+                          win, shift, eps):
+    """HF-semantics reference through the windowed path (defines the VJP)."""
+    from lc2is_tpu.nn.swin import window_partition, window_reverse
+    from lc2is_tpu.ops.window_attention import (_xla_block_reference,
+                                                pad_labels, region_labels)
+
+    b, h, w, c = x.shape
+    _, hp, wp, _, _ = _geom(h, w, win, shift)
+    xp = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    if shift:
+        xp = jnp.roll(xp, (-shift, -shift), axis=(1, 2))
+    xw = window_partition(xp, win)
+    nW = (hp // win) * (wp // win)
+    regions = region_labels(b, hp, wp, win, shift)
+    pads = pad_labels(b, h, w, hp, wp, win, shift)
+    yw = _xla_block_reference(xw, ln_w, ln_b, wqkv, bqkv, wo, bo, regions,
+                              bias, num_heads, eps, True, pad=pads)
+    y = window_reverse(yw, win, hp, wp)
+    if shift:
+        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+    return y[:, :h, :w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _canvas_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                num_heads, win, shift, eps, interpret):
+    return _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                            num_heads, win, shift, eps, interpret)
+
+
+def _canvas_fwd(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                num_heads, win, shift, eps, interpret):
+    out = _canvas_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                      num_heads, win, shift, eps, interpret)
+    return out, (x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias)
+
+
+def _canvas_bwd(num_heads, win, shift, eps, interpret, res, g):
+    """Windowed-layout reconstruction + the existing Pallas backward kernel
+    (C ≤ 512) or XLA recompute — training cost matches the windowed path."""
+    x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, lw, lb, wq, bq, wo_, bo_, bi: _xla_canvas_reference(
+            x_, lw, lb, wq, bq, wo_, bo_, bi, num_heads, win, shift, eps),
+        x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias)
+    return vjp(g)
+
+
+_canvas_vjp.defvjp(_canvas_fwd, _canvas_bwd)
+
+
+def swin_canvas_block(
+    x: jnp.ndarray,  # (B, H, W, C) raw canvas (channels-last)
+    ln_w: jnp.ndarray, ln_b: jnp.ndarray,
+    wqkv: jnp.ndarray, bqkv: jnp.ndarray,  # packed (3C, C) / (3C,)
+    wo: jnp.ndarray, bo: jnp.ndarray,
+    bias: jnp.ndarray,  # (heads, win², win²) standard token order
+    num_heads: int,
+    win: int,
+    shift: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out = x + proj(window_attn(qkv(LN(x)))) straight on the canvas."""
+    return _canvas_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                       num_heads, win, shift, eps, interpret)
