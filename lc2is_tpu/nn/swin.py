@@ -277,23 +277,30 @@ class SwinBlock(nn.Module):
         # shift0, 4.30/6.10 shift3; s2 2.88/3.07, 2.87/3.32; s3 3.03/2.36
         # shift0 (windowed wins) — hence the C gate.
         use_canvas = (fuse_attn and c <= 192
-                      and _os.environ.get("LC2IS_SWIN_CANVAS", "1") != "0"
-                      and _os.environ.get("LC2IS_SWIN_MERGED") != "1")
+                      and _os.environ.get("LC2IS_SWIN_CANVAS", "1") != "0")
         if use_canvas:
             from lc2is_tpu.ops.swin_canvas import swin_canvas_block
 
             ln_w, ln_b = self.layernorm_before(x, return_params=True)
             wqkv, bqkv, wo, bo, bias = self.attention.fused_inputs(x, eff_window=win)
-            yc = swin_canvas_block(
-                x.reshape(b, h, w, c), ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                self.num_heads, win, shift, interpret=pallas_interpret())
-            x = yc.reshape(b, p, c)
-            from lc2is_tpu.ops.fused_mlp import fused_mlp
-
             ln_w2, ln_b2 = self.layernorm_after(x, return_params=True)
             w1, b1 = self.intermediate(x, return_params=True)
             ff_dim = int(self.dim * self.mlp_ratio)
             w2, b2 = self.output(jax.ShapeDtypeStruct((ff_dim,), x.dtype), return_params=True)
+            # merged attn+MLP canvas kernel: measured a ~2-3 ms/step LOSS at
+            # 512²/b16 (66.3 vs 64.0 ms; the ~0.2 ms of saved canvas HBM
+            # traffic doesn't pay for the serialized VPU gelu + f32 canvas
+            # VMEM pressure) — opt-in for experimentation only.
+            merge_mlp = _os.environ.get("LC2IS_SWIN_CANVAS_MLP") == "1"
+            yc = swin_canvas_block(
+                x.reshape(b, h, w, c), ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                self.num_heads, win, shift, interpret=pallas_interpret(),
+                mlp=(ln_w2, ln_b2, w1, b1, w2, b2) if merge_mlp else None)
+            if merge_mlp:
+                return yc.reshape(b, p, c)
+            x = yc.reshape(b, p, c)
+            from lc2is_tpu.ops.fused_mlp import fused_mlp
+
             return fused_mlp(x, ln_w2, ln_b2, w1, b1, w2, b2, activation="gelu",
                              ln_position="pre", interpret=pallas_interpret())
 
@@ -309,20 +316,12 @@ class SwinBlock(nn.Module):
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
         xw = window_partition(x, win)
-        # merged attn+MLP kernel: measured slightly slower than the split
-        # kernels on v5e (VPU-serialized gelu outweighs the saved traffic);
-        # kept behind an env flag for experimentation
-        import os as _os
-
-        fuse_whole = (fuse_attn and c <= 512
-                      and _os.environ.get("LC2IS_SWIN_MERGED") == "1")
         if fuse_attn:
             # LN and the residual add commute with pad/roll/partition (LN is
             # per-token; roll permutes tokens; padded tokens are cropped), so
-            # the whole attention half — and for C<=512 the MLP half too —
-            # runs as one fused kernel on raw x.
+            # the whole attention half runs as one fused kernel on raw x.
             from lc2is_tpu.ops.window_attention import (
-                fused_swin_block, fused_window_block, pad_labels, region_labels)
+                fused_window_block, pad_labels, region_labels)
 
             ln_w, ln_b = self.layernorm_before(xw, return_params=True)
             wqkv, bqkv, wo, bo, bias = self.attention.fused_inputs(xw, eff_window=win)
@@ -331,23 +330,11 @@ class SwinBlock(nn.Module):
             # HF pads AFTER layernorm_before; LN runs inside the kernel, so
             # canvas-pad tokens are flagged for post-LN re-zeroing there
             pads = pad_labels(b, h, w, hp, wp, win, shift)
-            if fuse_whole:
-                ln2_w, ln2_b = self.layernorm_after(xw, return_params=True)
-                w1, b1 = self.intermediate(xw, return_params=True)
-                ff_dim = int(self.dim * self.mlp_ratio)
-                w2, b2 = self.output(jax.ShapeDtypeStruct((ff_dim,), x.dtype),
-                                     return_params=True)
-                aw = fused_swin_block(
-                    xw, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
-                    w1, b1, w2, b2, bias, regions, self.num_heads,
-                    interpret=pallas_interpret(), pad_mask=pads,
-                )
-            else:
-                aw = fused_window_block(
-                    xw, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, regions,
-                    self.num_heads, residual=True, interpret=pallas_interpret(),
-                    pad_mask=pads,
-                )
+            aw = fused_window_block(
+                xw, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, regions,
+                self.num_heads, residual=True, interpret=pallas_interpret(),
+                pad_mask=pads,
+            )
         else:
             aw = self.attention(xw, (hp, wp, win, shift), eff_window=win)
         x = window_reverse(aw, win, hp, wp)
@@ -356,8 +343,6 @@ class SwinBlock(nn.Module):
         if pad_h or pad_w:
             x = x[:, :h, :w, :]
         x = x.reshape(b, p, c)
-        if fuse_whole:
-            return x  # attention + MLP both applied in the fused kernel
         if not fuse_attn:
             x = shortcut + self._drop_path(x, deterministic)
 

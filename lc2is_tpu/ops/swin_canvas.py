@@ -107,11 +107,18 @@ def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp):
 
 
 def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                   wo_ref, bo_ref, bias_ref, o_ref,
-                   *, num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
-                   ns, nw, wc):
+                   wo_ref, bo_ref, bias_ref, *rest,
+                   num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
+                   ns, nw, wc, with_mlp=False):
     """One image per grid step: LN+QKV once over the canvas, per-strip
-    window layout in VMEM, batched attention over all ns·nw windows."""
+    window layout in VMEM, batched attention over all ns·nw windows.
+    With ``with_mlp`` the block's LN2+W1+gelu+W2+residual runs in the same
+    kernel on the attention-output canvas — the MLP half's two extra canvas
+    traversals through HBM disappear (stages 1-2 are layout/traffic-bound)."""
+    if with_mlp:
+        ln2w_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     hb_rows = ns * win
     c = x_ref.shape[-1]
     dh = c // num_heads
@@ -206,11 +213,42 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         y = jnp.concatenate(
             [y[o:], jnp.zeros((o, y.shape[1], c), jnp.float32)], axis=0)
     y = y[:, :W]
-    o_ref[0] = (y + X).astype(o_ref.dtype)
+    s = y + X  # (hb_rows, W, C) f32; rows >= H are garbage (cropped outside)
+    if not with_mlp:
+        o_ref[0] = s.astype(o_ref.dtype)
+        return
+
+    # ---- fused MLP half: out = s + W2·gelu(W1·LN2(s)) ----
+    from lc2is_tpu.ops.fused_mlp import _erf_f32
+
+    ln2w = ln2w_ref[...].astype(jnp.float32)
+    ln2b = ln2b_ref[...].astype(jnp.float32)
+    # chunk over strip groups: keeps the (tokens, FF) intermediate small in
+    # VMEM; row slicing is on the major dim (free), the (rows·W, C) merge is
+    # legal because W is a sublane multiple
+    rows_per = 4 * win
+    r0 = 0
+    while r0 < hb_rows:
+        r1 = min(r0 + rows_per, hb_rows)
+        chunk = s[r0:r1].reshape((r1 - r0) * W, c)
+        mean = chunk.mean(axis=-1, keepdims=True)
+        var = ((chunk - mean) ** 2).mean(axis=-1, keepdims=True)
+        hh = ((chunk - mean) * jax.lax.rsqrt(var + eps) * ln2w + ln2b)
+        hh = hh.astype(o_ref.dtype)
+        u = jax.lax.dot_general(hh, w1_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        u = u + b1_ref[...].astype(jnp.float32)
+        u = (0.5 * u * (1.0 + _erf_f32(u * jnp.float32(0.7071067811865476))))
+        u = u.astype(o_ref.dtype)
+        y2 = jax.lax.dot_general(u, w2_ref[...], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        y2 = y2 + b2_ref[...].astype(jnp.float32)
+        o_ref[0, r0:r1] = (chunk + y2).reshape(r1 - r0, W, c).astype(o_ref.dtype)
+        r0 = r1
 
 
 def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
-                     win, shift, eps, interpret):
+                     win, shift, eps, interpret, mlp=None):
     b, h, w, c = x.shape
     o, hp, wp, ns, nw = _geom(h, w, win, shift)
     wc = nw * win
@@ -220,30 +258,48 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
     bias_p = permute_bias(bias, win)
 
     kw = dict(num_heads=num_heads, scale=scale, eps=eps, win=win,
-              shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc)
+              shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc,
+              with_mlp=mlp is not None)
     const2 = lambda bb: (0, 0)
     hb_rows = ns * win
+
+    in_specs = [
+        pl.BlockSpec((1, hb_rows, w, c), lambda bb: (bb, 0, 0, 0)),
+        pl.BlockSpec((1, c), const2),
+        pl.BlockSpec((1, c), const2),
+        pl.BlockSpec((3 * c, c), const2),
+        pl.BlockSpec((1, 3 * c), const2),
+        pl.BlockSpec((c, c), const2),
+        pl.BlockSpec((1, c), const2),
+        pl.BlockSpec((num_heads, PW * PW, PW * PW), lambda bb: (0, 0, 0)),
+    ]
+    args = [x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
+            wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt),
+            wo.astype(wdt), bo.reshape(1, c).astype(wdt), bias_p]
+    if mlp is not None:
+        ln2_w, ln2_b, w1, b1, w2, b2 = mlp
+        ff = w1.shape[0]
+        in_specs += [
+            pl.BlockSpec((1, c), const2),
+            pl.BlockSpec((1, c), const2),
+            pl.BlockSpec((ff, c), const2),
+            pl.BlockSpec((1, ff), const2),
+            pl.BlockSpec((c, ff), const2),
+            pl.BlockSpec((1, c), const2),
+        ]
+        args += [ln2_w.reshape(1, c).astype(wdt), ln2_b.reshape(1, c).astype(wdt),
+                 w1.astype(wdt), b1.reshape(1, ff).astype(wdt),
+                 w2.astype(wdt), b2.reshape(1, c).astype(wdt)]
 
     out = pl.pallas_call(
         functools.partial(_canvas_kernel, **kw),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, hb_rows, w, c), lambda bb: (bb, 0, 0, 0)),
-            pl.BlockSpec((1, c), const2),
-            pl.BlockSpec((1, c), const2),
-            pl.BlockSpec((3 * c, c), const2),
-            pl.BlockSpec((1, 3 * c), const2),
-            pl.BlockSpec((c, c), const2),
-            pl.BlockSpec((1, c), const2),
-            pl.BlockSpec((num_heads, PW * PW, PW * PW), lambda bb: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hb_rows, w, c), lambda bb: (bb, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hb_rows, w, c), wdt),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
-    )(x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
-      wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt),
-      wo.astype(wdt), bo.reshape(1, c).astype(wdt), bias_p)
+    )(*args)
     return out[:, :h]
 
 
@@ -299,6 +355,48 @@ def _canvas_bwd(num_heads, win, shift, eps, interpret, res, g):
 _canvas_vjp.defvjp(_canvas_fwd, _canvas_bwd)
 
 
+def _xla_canvas_mlp_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                              ln2_w, ln2_b, w1, b1, w2, b2,
+                              num_heads, win, shift, eps):
+    from lc2is_tpu.ops.fused_mlp import _xla_reference as _mlp_ref
+
+    a = _xla_canvas_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                              num_heads, win, shift, eps)
+    b_, h, w, c = a.shape
+    y = _mlp_ref(a.reshape(b_, h * w, c), ln2_w, ln2_b, w1, b1, w2, b2,
+                 act="gelu", pre=True, residual=True, eps=eps)
+    return y.reshape(b_, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18))
+def _canvas_mlp_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                    ln2_w, ln2_b, w1, b1, w2, b2,
+                    num_heads, win, shift, eps, interpret):
+    return _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                            num_heads, win, shift, eps, interpret,
+                            mlp=(ln2_w, ln2_b, w1, b1, w2, b2))
+
+
+def _canvas_mlp_fwd(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                    ln2_w, ln2_b, w1, b1, w2, b2,
+                    num_heads, win, shift, eps, interpret):
+    out = _canvas_mlp_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                          ln2_w, ln2_b, w1, b1, w2, b2,
+                          num_heads, win, shift, eps, interpret)
+    return out, (x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                 ln2_w, ln2_b, w1, b1, w2, b2)
+
+
+def _canvas_mlp_bwd(num_heads, win, shift, eps, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _xla_canvas_mlp_reference(*a, num_heads, win, shift, eps),
+        *res)
+    return vjp(g)
+
+
+_canvas_mlp_vjp.defvjp(_canvas_mlp_fwd, _canvas_mlp_bwd)
+
+
 def swin_canvas_block(
     x: jnp.ndarray,  # (B, H, W, C) raw canvas (channels-last)
     ln_w: jnp.ndarray, ln_b: jnp.ndarray,
@@ -310,7 +408,12 @@ def swin_canvas_block(
     shift: int,
     eps: float = 1e-5,
     interpret: bool = False,
+    mlp: Optional[tuple] = None,  # (ln2_w, ln2_b, w1, b1, w2, b2) → merged MLP
 ) -> jnp.ndarray:
-    """out = x + proj(window_attn(qkv(LN(x)))) straight on the canvas."""
+    """out = x + proj(window_attn(qkv(LN(x)))) straight on the canvas;
+    with ``mlp`` the full swin block (attention + FF halves) in one kernel."""
+    if mlp is not None:
+        return _canvas_mlp_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, *mlp,
+                               num_heads, win, shift, eps, interpret)
     return _canvas_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
                        num_heads, win, shift, eps, interpret)

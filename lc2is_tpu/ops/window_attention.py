@@ -454,224 +454,6 @@ def fused_window_block(
 
 
 # ---------------------------------------------------------------------------
-# Whole swin block in one kernel: LN1+QKV+window-attn+proj+residual followed
-# by LN2+MLP(gelu)+residual — the MLP is per-token, so it composes in window
-# layout (padded canvas/window tokens are cropped by the caller).  Used for
-# stages with C <= 512 (stage-4's 768-wide MLP weights exceed VMEM together
-# with the attention weights; it stays on the split kernels).
-# ---------------------------------------------------------------------------
-
-
-def _swin_block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-                       ln2w_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                       reg_ref, pad_ref, bias_ref, o_ref, attn_sc,
-                       *, num_heads, scale, eps):
-    from lc2is_tpu.ops.fused_mlp import _erf_f32
-
-    g, p, c = x_ref.shape
-    dh = c // num_heads
-    x = x_ref[...]
-    x2 = x.reshape(g * p, c)
-    h = _ln_f32(x2, lnw_ref[...].astype(jnp.float32), lnb_ref[...].astype(jnp.float32),
-                eps)
-    # HF pad-after-LN semantics (see _block_kernel); the MLP half needs no
-    # masking — it is per-token and pad outputs are cropped by the caller
-    h = jnp.where(pad_ref[...][:, :, None] != 0, 0.0,
-                  h.reshape(g, p, c)).reshape(g * p, c).astype(x.dtype)
-    qkv2 = jax.lax.dot_general(
-        h, wqkv_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[...].astype(jnp.float32)
-    qkv = qkv2.astype(x.dtype).reshape(g, p, 3 * c)
-
-    reg = reg_ref[...]
-    neq = reg[:, :, None] != reg[:, None, :]
-
-    for hd in range(num_heads):
-        sl = slice(hd * dh, (hd + 1) * dh)
-        qh = qkv[:, :, hd * dh : (hd + 1) * dh]
-        kh = qkv[:, :, c + hd * dh : c + (hd + 1) * dh]
-        vh = qkv[:, :, 2 * c + hd * dh : 2 * c + (hd + 1) * dh]
-        logits = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        logits = logits * scale + bias_ref[hd][None]
-        logits = jnp.where(neq, NEG, logits)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        attn_sc[:, :, sl] = jax.lax.dot_general(
-            probs.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(attn_sc.dtype)
-
-    proj = jax.lax.dot_general(
-        attn_sc[...].reshape(g * p, c), wo_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[...].astype(jnp.float32)
-    x1f = proj + x2.astype(jnp.float32)
-    x1 = x1f.astype(x.dtype)
-
-    h2 = _ln_f32(x1, ln2w_ref[...].astype(jnp.float32), ln2b_ref[...].astype(jnp.float32),
-                 eps).astype(x.dtype)
-    u = jax.lax.dot_general(
-        h2, w1_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[...].astype(jnp.float32)
-    u = (0.5 * u * (1.0 + _erf_f32(u * jnp.float32(0.7071067811865476)))).astype(x.dtype)
-    y = jax.lax.dot_general(
-        u, w2_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b2_ref[...].astype(jnp.float32)
-    o_ref[...] = (x1f + y).reshape(g, p, c).astype(o_ref.dtype)
-
-
-def _xla_swin_block_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo,
-                              ln2_w, ln2_b, w1, b1, w2, b2, regions, bias,
-                              num_heads, eps, pad=None):
-    x1 = _xla_block_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, bias,
-                              num_heads, eps, True, pad=pad)
-    h2 = _ln_f32(x1, ln2_w.astype(jnp.float32), ln2_b.astype(jnp.float32), eps).astype(x1.dtype)
-    u = jax.nn.gelu(h2 @ w1.astype(h2.dtype).T + b1.astype(h2.dtype), approximate=False)
-    return x1 + (u @ w2.astype(u.dtype).T + b2.astype(u.dtype))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20, 21))
-def _swin_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b, w1, b1, w2, b2,
-                    regions, pad, bias, has_regions, has_pad, num_heads, eps,
-                    block_windows, interpret):
-    return _swin_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo,
-                                ln2_w, ln2_b, w1, b1, w2, b2,
-                                regions if has_regions else None,
-                                pad if has_pad else None, bias,
-                                num_heads, eps, block_windows, interpret)
-
-
-def _swin_block_fwd(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b, w1, b1, w2, b2,
-                    regions, pad, bias, has_regions, has_pad, num_heads, eps,
-                    block_windows, interpret):
-    out = _swin_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
-                          w1, b1, w2, b2, regions, pad, bias, has_regions,
-                          has_pad, num_heads, eps, block_windows, interpret)
-    return out, (x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b, w1, b1, w2, b2,
-                 regions, pad, bias)
-
-
-def _swin_block_bwd(has_regions, has_pad, num_heads, eps, block_windows, interpret,
-                    res, g):
-    (x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b, w1, b1, w2, b2,
-     regions, pad, bias) = res
-    _, vjp = jax.vjp(
-        lambda *a: _xla_swin_block_reference(
-            *a[:13], regions if has_regions else None, a[13], num_heads, eps,
-            pad=pad if has_pad else None),
-        x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b, w1, b1, w2, b2, bias,
-    )
-    grads = vjp(g)
-    return (*grads[:13], None, None, grads[13])
-
-
-_swin_block_vjp.defvjp(_swin_block_fwd, _swin_block_bwd)
-
-
-def _swin_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
-                         w1, b1, w2, b2, regions, pad_mask, bias, num_heads, eps,
-                         block_windows, interpret):
-    n, p, c = x.shape
-    f = w1.shape[0]
-    dh = c // num_heads
-    scale = 1.0 / np.sqrt(dh)
-    wdt = x.dtype
-
-    p_pad = ((p + 15) // 16) * 16
-    if p_pad != p:
-        x = jnp.pad(x, ((0, 0), (0, p_pad - p), (0, 0)))
-        bias = jnp.pad(bias, ((0, 0), (0, p_pad - p), (0, 0)), constant_values=0.0)
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, p_pad - p)), constant_values=NEG)
-        if regions is not None:
-            regions = jnp.pad(regions, ((0, 0), (0, p_pad - p)))
-        if pad_mask is not None:
-            pad_mask = jnp.pad(pad_mask, ((0, 0), (0, p_pad - p)))
-
-    if block_windows is not None:
-        g = min(block_windows, n)
-    else:
-        # x/qkv/attn blocks + (g·p, F) f32 MLP intermediate
-        per_window = 5 * p_pad * c * 2 + p_pad * p_pad * 4 + p_pad * f * 4
-        g = min(max(8, min(32, (3 * 1024 * 1024) // per_window)), n)
-        g = max(8, (g // 8) * 8)
-    n_pad = ((n + g - 1) // g) * g
-    if n_pad != n:
-        x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
-    if regions is None:
-        regions = jnp.zeros((n_pad, p_pad), jnp.int32)
-    elif regions.shape[0] != n_pad:
-        regions = jnp.pad(regions, ((0, n_pad - regions.shape[0]), (0, 0)))
-    if pad_mask is None:
-        pad_mask = jnp.zeros((n_pad, p_pad), jnp.int32)
-    elif pad_mask.shape[0] != n_pad:
-        pad_mask = jnp.pad(pad_mask, ((0, n_pad - pad_mask.shape[0]), (0, 0)))
-
-    from jax.experimental.pallas import tpu as pltpu
-
-    out = pl.pallas_call(
-        functools.partial(_swin_block_kernel, num_heads=num_heads, scale=scale, eps=eps),
-        grid=(n_pad // g,),
-        in_specs=[
-            pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((3 * c, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
-            pl.BlockSpec((c, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((f, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, f), lambda i: (0, 0)),
-            pl.BlockSpec((c, f), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((g, p_pad), lambda i: (i, 0)),
-            pl.BlockSpec((g, p_pad), lambda i: (i, 0)),
-            pl.BlockSpec((num_heads, p_pad, p_pad), lambda i: (0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_pad, p_pad, c), x.dtype),
-        scratch_shapes=[pltpu.VMEM((g, p_pad, c), x.dtype)],
-        interpret=interpret,
-    )(x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
-      wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt),
-      wo.astype(wdt), bo.reshape(1, c).astype(wdt),
-      ln2_w.reshape(1, c).astype(wdt), ln2_b.reshape(1, c).astype(wdt),
-      w1.astype(wdt), b1.reshape(1, f).astype(wdt),
-      w2.astype(wdt), b2.reshape(1, c).astype(wdt),
-      regions, pad_mask, bias.astype(jnp.float32))
-    return out[:n, :p]
-
-
-def fused_swin_block(
-    x: jnp.ndarray,  # (N, p, C) pre-LN windowed tokens
-    ln_w, ln_b, wqkv, bqkv, wo, bo,
-    ln2_w, ln2_b, w1, b1, w2, b2,
-    bias: jnp.ndarray,
-    regions: Optional[jnp.ndarray],
-    num_heads: int,
-    eps: float = 1e-5,
-    block_windows: Optional[int] = None,
-    interpret: bool = False,
-    pad_mask: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Whole swin block (attention + MLP halves) in one VMEM pass."""
-    dummy = jnp.zeros((x.shape[0], x.shape[1]), jnp.int32)
-    return _swin_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, ln2_w, ln2_b,
-                           w1, b1, w2, b2,
-                           dummy if regions is None else regions,
-                           dummy if pad_mask is None else pad_mask, bias,
-                           regions is not None, pad_mask is not None,
-                           num_heads, eps, block_windows, interpret)
-
-
-# ---------------------------------------------------------------------------
 # Fused backward kernel for the window block (flash-style: recompute the
 # forward in VMEM from x, then walk the chain backwards; weight/bias grads
 # accumulate across grid steps in revisited output blocks).  Used for

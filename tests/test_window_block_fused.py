@@ -7,8 +7,7 @@ import numpy as np
 import pytest
 
 from lc2is_tpu.ops.window_attention import (
-    fused_swin_block, fused_window_block,
-    _xla_block_reference, _xla_swin_block_reference)
+    fused_window_block, _xla_block_reference)
 
 
 def _mk(n, p, c, heads, seed=0, with_regions=False):
@@ -123,40 +122,3 @@ def test_fused_window_block_pad_mask_grad(with_regions):
         v, lw, lb, wqkv, bqkv, wo, bo, regions, bias, 4, 1e-5, True,
         pad=pad).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
-
-
-@pytest.mark.parametrize("with_regions", [False, True])
-def test_fused_swin_block_parity(with_regions):
-    n, p, c, heads, f = 12, 49, 32, 2, 128
-    x, lw, lb, wqkv, bqkv, wo, bo, bias, regions = _mk(n, p, c, heads, seed=2,
-                                                       with_regions=with_regions)
-    rs = np.random.RandomState(3)
-    l2w = jnp.asarray(1 + 0.1 * rs.randn(c), jnp.float32)
-    l2b = jnp.asarray(0.1 * rs.randn(c), jnp.float32)
-    w1 = jnp.asarray(rs.randn(f, c).astype(np.float32) / np.sqrt(c))
-    b1 = jnp.asarray(0.1 * rs.randn(f).astype(np.float32))
-    w2 = jnp.asarray(rs.randn(c, f).astype(np.float32) / np.sqrt(f))
-    b2 = jnp.asarray(0.1 * rs.randn(c).astype(np.float32))
-    got = fused_swin_block(x, lw, lb, wqkv, bqkv, wo, bo, l2w, l2b, w1, b1, w2, b2,
-                           bias, regions, heads, interpret=True, block_windows=8)
-    want = _xla_swin_block_reference(x, lw, lb, wqkv, bqkv, wo, bo, l2w, l2b,
-                                     w1, b1, w2, b2, regions, bias, heads, 1e-5)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
-
-
-def test_fused_swin_block_bias_grad_flows():
-    n, p, c, heads, f = 8, 16, 32, 2, 64
-    x, lw, lb, wqkv, bqkv, wo, bo, bias, _ = _mk(n, p, c, heads, seed=4)
-    rs = np.random.RandomState(5)
-    l2w, l2b = jnp.ones(c), jnp.zeros(c)
-    w1 = jnp.asarray(rs.randn(f, c).astype(np.float32) / 6)
-    b1 = jnp.zeros(f)
-    w2 = jnp.asarray(rs.randn(c, f).astype(np.float32) / 8)
-    b2 = jnp.zeros(c)
-    db1 = jax.grad(lambda b: fused_swin_block(
-        x, lw, lb, wqkv, bqkv, wo, bo, l2w, l2b, w1, b1, w2, b2, b, None, heads,
-        interpret=True).sum())(bias)
-    db2 = jax.grad(lambda b: _xla_swin_block_reference(
-        x, lw, lb, wqkv, bqkv, wo, bo, l2w, l2b, w1, b1, w2, b2, None, b,
-        heads, 1e-5).sum())(bias)
-    np.testing.assert_allclose(np.asarray(db1), np.asarray(db2), rtol=1e-4, atol=1e-4)
