@@ -332,9 +332,18 @@ class PromptContextBase(nn.Module):
                   "text_dim": cfg["text_dim"], "dropout": 0.0}
         self.context_decoder = ContextDecoder(attn_impl=self.attn_impl, **cd_cfg)
 
-    def __call__(self, visual_context: jnp.ndarray, deterministic: bool = True):
+    def embed_text(self) -> jnp.ndarray:
+        """Image-independent half of the tower: (K, C) prompted class
+        embeddings.  Depends only on params (texts buffer, learned contexts,
+        frozen text encoder) — constant at serving time, so callers with a
+        fixed checkpoint precompute it once (~8 ms/step of the 512²/b16
+        profile is this transformer) and pass it back as ``text_static``."""
+        return self.text_encoder(self.texts, self.contexts)
+
+    def __call__(self, visual_context: jnp.ndarray, deterministic: bool = True,
+                 text_static: Optional[jnp.ndarray] = None):
         b = visual_context.shape[0]
-        t = self.text_encoder(self.texts, self.contexts)  # (K, C)
+        t = self.embed_text() if text_static is None else text_static  # (K, C)
         t = jnp.broadcast_to(t[None], (b, *t.shape))
         text_diff = self.context_decoder(t, visual_context, deterministic)
         return t + self.gamma.astype(t.dtype) * text_diff
@@ -363,7 +372,8 @@ class DenseCLIPFTN(nn.Module):
     def __call__(self, inputs, deterministic: bool = True):
         stages = self.vision_encoder(inputs["pixel_values"], deterministic)[:4]
         visual_context = stages[-1]  # last stage (new.py:40)
-        text_embeddings = self.prompt(visual_context, deterministic)
+        text_embeddings = self.prompt(visual_context, deterministic,
+                                      text_static=inputs.get("text_static"))
         x = self.decoder(stages, text_embeddings, deterministic)
         grid = int(round(x.shape[1] ** 0.5))  # 128 at 512² (new.py:66)
         out = _score_map(x, text_embeddings, grid)
@@ -472,6 +482,13 @@ class BaseCrossA(_FinalBase):
 class _PromptFinalBase(_FinalBase):
     cfg: Optional[Dict[str, Any]] = None
 
+    def embed_text(self) -> jnp.ndarray:
+        """Serving precompute: run via
+        ``model.apply(params, method="embed_text")`` once per checkpoint and
+        feed the result back as ``inputs["text_static"]`` — skips the
+        image-independent prompt-text transformer every step."""
+        return self.prompt.embed_text()
+
     def _make_prompt(self):
         cfg = self.cfg or default_denseclip_cfg()
         return PromptContextBase(
@@ -491,7 +508,8 @@ class PromptSelfA(_PromptFinalBase):
 
     def __call__(self, inputs, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         v = self.vision_encoder(inputs["pixel_values"], deterministic)[:4]
-        t = self.prompt(v[2], deterministic).astype(v[-1].dtype)  # stage-3 visual context; bf16 compute path
+        t = self.prompt(v[2], deterministic,  # stage-3 visual ctx; bf16 path
+                        text_static=inputs.get("text_static")).astype(v[-1].dtype)
         x = self.vision_decoder(v, deterministic)
         return dict(outputs=self._finish(x, t))
 
@@ -506,7 +524,8 @@ class PromptCrossA(_PromptFinalBase):
 
     def __call__(self, inputs, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         v = self.vision_encoder(inputs["pixel_values"], deterministic)[:4]
-        t = self.prompt(v[2], deterministic).astype(v[-1].dtype)
+        t = self.prompt(v[2], deterministic,
+                        text_static=inputs.get("text_static")).astype(v[-1].dtype)
         x = self.vision_decoder(v, t, deterministic)
         return dict(outputs=self._finish(x, t))
 
@@ -532,7 +551,8 @@ class PromptAuxSelfA(_PromptFinalBase, _AuxMixin):
 
     def __call__(self, inputs, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         v = self.vision_encoder(inputs["pixel_values"], deterministic)[:4]
-        t = self.prompt(v[2], deterministic).astype(v[-1].dtype)
+        t = self.prompt(v[2], deterministic,
+                        text_static=inputs.get("text_static")).astype(v[-1].dtype)
         low = self._aux_map(v[2], t)
         x = self.vision_decoder(v, deterministic)
         return dict(outputs=self._finish(x, t), low_score_map=low)
@@ -552,7 +572,8 @@ class PromptAuxCrossA(_PromptFinalBase, _AuxMixin):
 
     def __call__(self, inputs, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         v = self.vision_encoder(inputs["pixel_values"], deterministic)[:4]
-        t = self.prompt(v[2], deterministic).astype(v[-1].dtype)
+        t = self.prompt(v[2], deterministic,
+                        text_static=inputs.get("text_static")).astype(v[-1].dtype)
         low = self._aux_map(v[2], t)
         x = self.vision_decoder(v, t, deterministic)
         return dict(outputs=self._finish(x, t), low_score_map=low)

@@ -337,8 +337,10 @@ def _fused_block_bwd(has_regions, has_pad, num_heads, eps, residual,
                      block_windows, interpret, res, g):
     x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad, bias = res
     c = x.shape[-1]
-    if c <= 512:
-        # fused Pallas backward (flash-style in-VMEM recompute)
+    if c <= 768:
+        # fused Pallas backward (flash-style in-VMEM recompute); at C=768
+        # (stage 4) the adaptive windows-per-step floor of 8 keeps the block
+        # set ≈ 8·0.5 MB + 21 MB of weight/grad operands — well inside VMEM
         dx, dlw, dlb, dwq, dbq, dwo, dbo_, dbi = _fused_block_bwd_pallas(
             x, ln_w, ln_b, wqkv, bqkv, wo, bo,
             regions if has_regions else None,

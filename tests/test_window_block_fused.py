@@ -122,3 +122,14 @@ def test_fused_window_block_pad_mask_grad(with_regions):
         v, lw, lb, wqkv, bqkv, wo, bo, regions, bias, 4, 1e-5, True,
         pad=pad).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_window_block_grad_stage4_width():
+    """C=768/24-head (swin-small stage 4) now takes the Pallas backward —
+    grad parity at the real channel width, reduced window count."""
+    x, lw, lb, wqkv, bqkv, wo, bo, bias, _ = _mk(2, 16, 768, 24, seed=11)
+    g1 = jax.grad(lambda v: fused_window_block(v, lw, lb, wqkv, bqkv, wo, bo,
+                                               bias, None, 24, interpret=True).sum())(x)
+    g2 = jax.grad(lambda v: _xla_block_reference(v, lw, lb, wqkv, bqkv, wo, bo,
+                                                 None, bias, 24, 1e-5, True).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=2e-4)

@@ -174,3 +174,22 @@ def test_grads_flow_aux_cross(rng):
     flat = jax.tree_util.tree_leaves(grads)
     nonzero = sum(int(jnp.any(g != 0)) for g in flat)
     assert nonzero > len(flat) * 0.5  # most leaves receive gradient
+
+
+def test_text_static_parity():
+    """Serving text-precompute: embed_text once + text_static input must
+    reproduce the per-step path bit-for-bit (bench.py serving path)."""
+    import numpy as np
+
+    from lc2is_tpu.models import zoo
+
+    model = zoo.PromptAuxCrossA(class_names=tuple(f"c{i}" for i in range(7)),
+                                swin_cfg=TINY_SWIN, attn_impl="xla",
+                                cfg=_small_denseclip_cfg())
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 64, 64), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), {"pixel_values": x})
+    base = model.apply(params, {"pixel_values": x})
+    ts = model.apply(params, method="embed_text")
+    cached = model.apply(params, {"pixel_values": x, "text_static": ts})
+    for k in base:
+        np.testing.assert_array_equal(np.asarray(base[k]), np.asarray(cached[k]))
