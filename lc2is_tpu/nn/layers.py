@@ -382,16 +382,17 @@ class TransformerDecoderLayer(nn.Module):
             x, src @ wk.T + bk, src @ wv.T + bv, wq, bq, wo, bo, n1w, n1b,
             self.nhead, eps=eps, interpret=interp)
 
-        if self.d_kv in (None, self.d_model):
-            wq2, wk2, wv2, bq2, bk2, bv2 = self.multihead_attn.proj_weights(dt)
-            wo2, bo2 = self.multihead_attn.out_proj(x, return_params=True)
-            n2w, n2b = self.norm2(x, return_params=True)
-            mem = memory.astype(dt)
-            x = fused_attn_block(
-                x, mem @ wk2.T + bk2, mem @ wv2.T + bv2, wq2, bq2, wo2, bo2,
-                n2w, n2b, self.nhead, eps=eps, interpret=interp)
-        else:  # asymmetric kdim/vdim cross-attention stays on the XLA path
-            x = self.norm2(x + self._mha_block(x, memory, None, None, deterministic))
+        # symmetric AND asymmetric kdim/vdim both land here: K/V are
+        # projected to d_model in XLA first (wk2 is (E, kdim) — the kernel
+        # only ever sees (B, L, E) keys), so the fused block and its Pallas
+        # backward cover the reference's d_kv cross-attention too
+        wq2, wk2, wv2, bq2, bk2, bv2 = self.multihead_attn.proj_weights(dt)
+        wo2, bo2 = self.multihead_attn.out_proj(x, return_params=True)
+        n2w, n2b = self.norm2(x, return_params=True)
+        mem = memory.astype(dt)
+        x = fused_attn_block(
+            x, mem @ wk2.T + bk2, mem @ wv2.T + bv2, wq2, bq2, wo2, bo2,
+            n2w, n2b, self.nhead, eps=eps, interpret=interp)
 
         return _ff_res_norm(self, x, self.norm3, pre=False, deterministic=deterministic)
 

@@ -110,3 +110,28 @@ def test_swin_fused_grads_match_xla(force_pallas):
         vb = flat_b[jax.tree_util.keystr(k)]
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=5e-3, atol=5e-3,
                                    err_msg=jax.tree_util.keystr(k))
+
+
+def test_decoder_layer_fused_asymmetric_dkv(force_pallas):
+    """The asymmetric-kdim/vdim cross-attention (reference model/decoder.py:13)
+    now rides the fused block too — fwd + grads vs the XLA composition."""
+    r = np.random.RandomState(3)
+    tgt = jnp.asarray(r.randn(2, 36, 64), jnp.float32)
+    mem = jnp.asarray(r.randn(2, 7, 48), jnp.float32)
+    kw = dict(d_model=64, nhead=4, d_kv=48, dim_feedforward=128, dropout=0.0,
+              norm_first=False)
+    xla = TransformerDecoderLayer(attn_impl="xla", **kw)
+    fused = TransformerDecoderLayer(attn_impl="auto", **kw)
+    params = xla.init(jax.random.PRNGKey(0), tgt, mem)
+    a = xla.apply(params, tgt, mem)
+    b = fused.apply(params, tgt, mem)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+    ga = jax.grad(lambda p: (xla.apply(p, tgt, mem) ** 2).sum())(params)
+    gb = jax.grad(lambda p: (fused.apply(p, tgt, mem) ** 2).sum())(params)
+    flat_a = jax.tree_util.tree_leaves_with_path(ga)
+    flat_b = jax.tree_util.tree_leaves_with_path(gb)
+    for (pa, la), (pb, lb) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=jax.tree_util.keystr(pa))
