@@ -93,3 +93,45 @@ def multi_scale_sliding_eval(
         probs = resize(probs, size=(h, w), method="bilinear")
         total = probs if total is None else total + probs
     return total / len(scales)
+
+
+def dp_sliding_miou(
+    apply_fn: Callable[..., jnp.ndarray],  # (params, (N,3,c,c)) -> (N,K,c,c)
+    params,
+    images: jnp.ndarray,  # (B, 3, H, W), B divisible by the data axis
+    labels: jnp.ndarray,  # (B, H, W) int
+    mesh,
+    num_classes: int = 151,
+    scales: Sequence[float] = (0.75, 1.0, 1.25),
+    crop: int = 512,
+    stride: int = 341,
+    flip: bool = True,
+) -> jnp.ndarray:
+    """Data-parallel multi-scale sliding eval (BASELINE.json config #5 as
+    written: the 640² hierarchical sliding eval *and* DP over the chip mesh
+    in one path): the image batch is sharded over the ``data`` axis via
+    shard_map, each chip slides its shard, and the per-image mIoU
+    (reference semantics, metrics/miou.py) is psum-reduced on device —
+    only the final scalar leaves the mesh.  Numerically identical to the
+    single-device eval (sum-of-per-image-values / count commutes with the
+    shard split); asserted in tests/test_sliding_utils.py and
+    __graft_entry__.dryrun_multichip."""
+    from jax.sharding import PartitionSpec as P
+
+    from lc2is_tpu.core.mesh import DATA_AXIS
+    from lc2is_tpu.metrics.miou import per_image_miou
+
+    def shard_fn(p, img, lab):
+        probs = multi_scale_sliding_eval(
+            lambda x: apply_fn(p, x), img,
+            scales=scales, crop=crop, stride=stride, flip=flip)
+        vals = per_image_miou(probs, lab, num_classes=num_classes,
+                              upsample_logits_to_label=False, reduce=False)
+        s = jax.lax.psum(vals.sum(), DATA_AXIS)
+        n = jax.lax.psum(jnp.asarray(vals.shape[0], jnp.float32), DATA_AXIS)
+        return s / n
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                       out_specs=P())
+    return jax.jit(fn)(params, images, labels)

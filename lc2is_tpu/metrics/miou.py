@@ -47,9 +47,12 @@ def per_image_miou(
     num_classes: int = 151,
     ignore_index: Optional[int] = 0,
     upsample_logits_to_label: bool = True,
+    reduce: bool = True,
 ) -> jnp.ndarray:
     """Vectorised reference ``compute_mIOU``: mean over images of the mean
-    IoU over classes present in each image's (4x-nearest-upsampled) label."""
+    IoU over classes present in each image's (4x-nearest-upsampled) label.
+    ``reduce=False`` returns the per-image values (B,) instead of their mean
+    (the DP sliding eval psums sums/counts across chips before dividing)."""
     k = logits.shape[1]
     if upsample_logits_to_label:
         logits = resize(logits, scale_factor=4, method="bicubic")
@@ -66,7 +69,8 @@ def per_image_miou(
         n = jnp.maximum(present.sum(), 1)
         return jnp.where(present, iou, 0.0).sum() / n
 
-    return jax.vmap(one)(pred, labels).mean()
+    vals = jax.vmap(one)(pred, labels)
+    return vals.mean() if reduce else vals
 
 
 def pixel_accuracy(

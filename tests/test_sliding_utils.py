@@ -93,3 +93,45 @@ def test_pad_concat_unpad(rng):
     back = unpad(stacked, sizes)
     for t, b in zip(tensors, back):
         assert np.array_equal(np.asarray(t), np.asarray(b))
+
+
+def test_dp_sliding_miou_matches_single_device(rng):
+    """BASELINE.json config #5 as one path: multi-scale sliding eval DATA-
+    PARALLEL over the 8-device mesh with psum'd per-image mIoU must equal the
+    single-device eval exactly (hierarchical variant, tiny dims)."""
+    from lc2is_tpu.core.mesh import make_mesh
+    from lc2is_tpu.engine.sliding import dp_sliding_miou
+    from lc2is_tpu.metrics.miou import per_image_miou
+    from lc2is_tpu.models import zoo
+
+    tiny_swin = dict(embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8), window=4)
+    cfg = dict(
+        text_encoder=dict(context_length=8, vocab_size=49408, transformer_width=512,
+                          transformer_heads=8, transformer_layers=1, embed_dim=512),
+        context_decoder=dict(transformer_width=64, transformer_heads=4, transformer_layers=1),
+        context_length=4,
+        text_dim=512,
+    )
+    names = ("wall", "sky", "tree", "road")
+    model = zoo.PromptCrossA(class_names=names, cfg=cfg, swin_cfg=tiny_swin, dropout=0.0)
+
+    # crops must stay divisible by 32 (grid/4 through three pyramid halvings
+    # — same constraint as the reference's 480/512 sliding crops), so scales
+    # are chosen to keep every scaled size >= crop
+    base, crop, stride = 96, 64, 32
+    images = jnp.asarray(rng.randn(8, 3, base, base).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, len(names), size=(8, base, base)).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), {"pixel_values": images[:1, :, :crop, :crop]})
+
+    def apply_fn(p, x):
+        return model.apply(p, {"pixel_values": x})["outputs"]
+
+    kw = dict(scales=(0.75, 1.0), crop=crop, stride=stride, flip=True)
+    mesh = make_mesh(data=jax.device_count(), model=1)
+    got = dp_sliding_miou(apply_fn, params, images, labels, mesh,
+                          num_classes=len(names), **kw)
+
+    probs = multi_scale_sliding_eval(lambda x: apply_fn(params, x), images, **kw)
+    want = per_image_miou(probs, labels, num_classes=len(names),
+                          upsample_logits_to_label=False)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-5, atol=2e-6)
