@@ -78,7 +78,7 @@ def main():
         out = model.apply(p, {"pixel_values": x + eps.astype(x.dtype),
                               "text_static": ts})
         pred = out["outputs"]  # (B, 512, 512) int32 masks — the served artifact
-        return pred.astype(jnp.float32).mean() * jnp.asarray(1e-8, jnp.float32)
+        return pred.astype(jnp.float32).mean() * jnp.asarray(1e-8, jnp.float32), pred
 
     eps0 = jnp.asarray(0.0, jnp.float32)
     compiled = jax.jit(step).lower(params, pv, text_static, eps0).compile()
@@ -89,17 +89,50 @@ def main():
     except Exception:
         flops_total = 0.0
 
-    def chain():
+    def chain(comp=None):
+        comp = comp or compiled
         eps = eps0
         for _ in range(ITERS):
-            eps = compiled(params, pv, text_static, eps)
-        return float(eps)  # host fetch forces the dependency chain
+            eps, masks = comp(params, pv, text_static, eps)
+        return float(eps), masks  # host fetch forces the dependency chain
 
     chain()  # warmup (already compiled)
     t0 = time.perf_counter()
-    chain()
+    _, masks_bf16 = chain()
     dt = (time.perf_counter() - t0) / ITERS
     img_per_s = BATCH / dt
+
+    # --- int8 serving row (VERDICT r2 #2): same step with quant_int8 --------
+    # per-output-channel int8 weights + dynamic per-token int8 activations on
+    # the swin-block and decoder matmuls (ops/quant.py); throughput counts
+    # ONLY with the accuracy bound, so the same JSON line carries the argmax
+    # agreement vs the bf16 masks.  Guarded: an int8 compile failure must not
+    # take down the bf16 headline.
+    int8_extras = {}
+    if os.environ.get("LC2IS_BENCH_INT8", "1") != "0":
+        try:
+            model_q = model.clone(quant_int8=True)
+
+            def step_q(p, x, ts, eps):
+                out = model_q.apply(p, {"pixel_values": x + eps.astype(x.dtype),
+                                        "text_static": ts})
+                pred = out["outputs"]
+                return pred.astype(jnp.float32).mean() * jnp.asarray(1e-8, jnp.float32), pred
+
+            compiled_q = jax.jit(step_q).lower(params, pv, text_static, eps0).compile()
+            chain(compiled_q)
+            t0 = time.perf_counter()
+            _, masks_q = chain(compiled_q)
+            dt_q = (time.perf_counter() - t0) / ITERS
+            agree = float((np.asarray(masks_q) == np.asarray(masks_bf16)).mean())
+            int8_extras = {
+                "int8_img_s": round(BATCH / dt_q, 3),
+                "int8_step_ms": round(dt_q * 1e3, 2),
+                "int8_speedup_vs_bf16": round(dt / dt_q, 3),
+                "int8_mask_agreement": round(agree, 5),
+            }
+        except Exception as e:  # noqa: BLE001
+            int8_extras = {"int8_error": str(e)[:160]}
 
     # calibrate the axon tunnel's per-call dispatch overhead with a trivial
     # chained op (same protocol, ~zero device work) so the report separates
@@ -152,6 +185,7 @@ def main():
         "target_3x_mfu25_img_s": round(3 * a100_est_25, 1),
         "pct_of_3x_target_mfu12": round(100 * img_per_s / (3 * a100_est), 1),
         "text_cached": True,
+        **int8_extras,
     }))
 
 

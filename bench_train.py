@@ -88,6 +88,21 @@ def main():
     params, opt_state, _ = chain(params, opt_state, ITERS)
     dt = (time.perf_counter() - t0) / ITERS
 
+    # XLA cost analysis of the whole step: bytes vs flops says whether the
+    # step is HBM- or MXU-bound (Pallas-internal flops are not counted, but
+    # bytes accessed are the meaningful signal here)
+    extras = {}
+    try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        extras = {
+            "xla_gflops": round(float(cost.get("flops", 0.0)) / 1e9, 1),
+            "xla_gbytes": round(float(cost.get("bytes accessed", 0.0)) / 1e9, 2),
+        }
+        extras["hbm_bound_ms_at_600GBps"] = round(extras["xla_gbytes"] / 600 * 1e3, 1)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "ade20k_512_train_throughput",
         "value": round(BATCH / dt, 3),
@@ -97,6 +112,7 @@ def main():
         "dtype": "bfloat16",
         "model": "prompt_aux_cross_a",
         "step_ms": round(dt * 1e3, 2),
+        **extras,
     }))
 
 

@@ -51,6 +51,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # Logging arguments
     p.add_argument("--logger", type=str, default="csv", choices=["csv", "wandb", "null"])
     p.add_argument("--wandb_project", type=str, default=None, help="Name of WandB project")
+    p.add_argument("--watch_grads", action="store_true",
+                   help="log the trainable-grad global norm each step "
+                        "(wandb.watch equivalent; auto-on when --logger wandb, "
+                        "matching engine.py:52)")
     # Mesh
     p.add_argument("--dp", type=int, default=-1, help="data-parallel axis size (-1: all devices)")
     p.add_argument("--tp", type=int, default=1, help="model-parallel axis size")

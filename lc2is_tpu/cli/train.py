@@ -40,6 +40,7 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         frozen_prefixes=FROZEN_PREFIXES.get(args.model, ()),
         seed=args.seed,
+        watch_grads=args.watch_grads or args.logger == "wandb",
     )
     if args.resume:
         start = engine.resume()

@@ -55,18 +55,46 @@ def check_sha1(filename: str, sha1_hash: str) -> bool:
 
 
 def download(url: str, path: str, overwrite: bool = False, sha1_hash: Optional[str] = None) -> str:
-    """sha1-verified HTTP download (``download.py:31-99``).  Requires network
-    egress — in the sealed environment use ``synthetic=True`` datasets."""
+    """sha1-verified streaming HTTP download with a progress bar
+    (``download.py:31-99`` semantics: an existing file with a mismatching
+    hash is RE-downloaded, not trusted; progress is chunked over
+    content-length).  Requires network egress — in the sealed environment
+    use ``synthetic=True`` datasets."""
     import urllib.request
 
     fname = os.path.join(path, url.split("/")[-1])
+    # reference gate (download.py:61-64): re-download on overwrite, absence,
+    # OR a stale/corrupt existing file
     if os.path.exists(fname) and not overwrite and (sha1_hash is None or check_sha1(fname, sha1_hash)):
         return fname
     os.makedirs(path, exist_ok=True)
     print(f"Downloading {fname} from {url}...")
-    urllib.request.urlretrieve(url, fname)
+    with urllib.request.urlopen(url) as r:
+        if getattr(r, "status", 200) not in (None, 200):
+            raise RuntimeError(f"Failed downloading url {url}")
+        total = r.headers.get("content-length")
+        total_kb = int(int(total) / 1024.0 + 0.5) if total else None
+        try:
+            from tqdm import tqdm
+
+            bar = tqdm(total=total_kb, unit="KB", unit_scale=False, dynamic_ncols=True)
+        except Exception:  # offline-image safety; reference hard-imports tqdm
+            bar = None
+        with open(fname, "wb") as f:
+            while True:
+                chunk = r.read(1024)
+                if not chunk:
+                    break
+                f.write(chunk)
+                if bar is not None:
+                    bar.update(1)
+        if bar is not None:
+            bar.close()
     if sha1_hash and not check_sha1(fname, sha1_hash):
-        raise RuntimeError(f"sha1 mismatch for {fname}")
+        # the reference only warns here (download.py:92-97); a corrupt
+        # archive would then crash the extractor, so we raise instead —
+        # the next call re-downloads (hash-gate above)
+        raise RuntimeError(f"sha1 mismatch for {fname}; re-run to re-download")
     return fname
 
 

@@ -27,6 +27,7 @@ from typing import Callable, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from lc2is_tpu.core.mesh import batch_sharding, make_mesh, replicated
 from lc2is_tpu.engine import checkpoint as ckpt
@@ -79,6 +80,9 @@ class Engine:
         donate: bool = True,
         debug_nans: bool = False,  # SURVEY §5.2: sanitizer mode
         checkpoint_on_preemption: bool = True,  # SURVEY §5.3: SIGTERM save
+        watch_grads: bool = False,  # wandb.watch equivalent (engine.py:52):
+        # log the trainable-grad global norm each step at one-scalar cost
+        progress: bool = True,  # tqdm train/eval bars (engine.py:53,138)
     ) -> None:
         if debug_nans:
             jax.config.update("jax_debug_nans", True)
@@ -99,6 +103,8 @@ class Engine:
         self.num_classes = num_classes
         self.frozen_prefixes = tuple(frozen_prefixes)
         self.keep_eval_outputs = keep_eval_outputs
+        self.watch_grads = watch_grads
+        self.progress = progress
         self.seed = seed
         self.rng = jax.random.PRNGKey(seed)
 
@@ -144,6 +150,19 @@ class Engine:
         self.train_metrics: Dict = {}
         self.eval_metrics: Dict = {}
         self.all_train_metrics: Dict[str, List[float]] = {}
+
+    # ------------------------------------------------------------------
+    def _make_bar(self, total: int, desc: str, leave: bool = True):
+        """tqdm progress bar (reference ``engine.py:53,138``); None when
+        disabled or tqdm is unavailable."""
+        if not self.progress:
+            return None
+        try:
+            from tqdm import tqdm
+
+            return tqdm(total=total, desc=desc, leave=leave, dynamic_ncols=True)
+        except Exception:
+            return None
 
     # ------------------------------------------------------------------
     def _install_preemption_handler(self):
@@ -194,6 +213,7 @@ class Engine:
             and pallas_enabled(getattr(model, "attn_impl", "auto"))
         )
         self._train_uses_fused_loss = use_fused_loss
+        watch_grads = self.watch_grads
         train_model = model.clone(return_score_map=True) if use_fused_loss else model
 
         # stop_gradient on frozen subtrees: the optimizer already zeroes their
@@ -245,6 +265,10 @@ class Engine:
                 return total, losses
 
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(inner)
+            if watch_grads:
+                # the TPU-native rendering of wandb.watch(model): gradient
+                # magnitude tracked on device, one scalar leaves the chip
+                losses["train_grad_norm"] = optax.global_norm(grads)
             updates, new_opt = tx.update(grads, opt_state, inner)
             new_inner = jax.tree_util.tree_map(lambda p, u: p + u.astype(p.dtype),
                                                inner, updates)
@@ -280,9 +304,12 @@ class Engine:
         self.logger.init()
         self.stop_train = False
         save_path, metrics, log_metrics, eval_metrics = None, {}, {}, {}
+        self._train_bar = self._make_bar(self.train_steps, "Training")
         t0 = time.time()
         while not self.stop_train:
             metrics, save_path = self.train_loop()
+        if self._train_bar is not None:
+            self._train_bar.close()
         self.logger.finish()
         dt = time.time() - t0
         print(f"[engine] trained {self.train_step_count} steps in {dt:.1f}s "
@@ -303,6 +330,8 @@ class Engine:
             self.params, self.opt_state, losses = self._train_step(
                 self.params, self.opt_state, inputs, labels, step_rng
             )
+            if getattr(self, "_train_bar", None) is not None:
+                self._train_bar.update(1)
 
             losses = {k: float(v) for k, v in losses.items()}
             for k, v in losses.items():
@@ -348,7 +377,10 @@ class Engine:
         cm_total = np.zeros((self.num_classes, self.num_classes), dtype=np.int64)
         all_outputs, all_labels, gt_list, sizes = [], [], [], []
 
+        eval_bar = self._make_bar(len(self.eval_loader), "Evaluation", leave=False)
         for data in self.eval_loader:
+            if eval_bar is not None:
+                eval_bar.update(1)
             inputs = dict(data[0]) if isinstance(data, tuple) else dict(data)
             metas = data[1] if isinstance(data, tuple) and len(data) > 1 else None
             labels = jnp.asarray(inputs.pop("label"))
@@ -373,6 +405,8 @@ class Engine:
                         if isinstance(m, dict) and "gt" in m:
                             gt_list.append(np.asarray(m["gt"]))
 
+        if eval_bar is not None:
+            eval_bar.close()
         eval_metrics = {k: float(np.mean(v)) for k, v in all_metrics.items()}
         eval_metrics["eval_mIOU_label"] = miou_sum / max(n_img, 1)
         from lc2is_tpu.metrics.miou import dataset_miou

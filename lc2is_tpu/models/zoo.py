@@ -398,6 +398,7 @@ class _FinalBase(nn.Module):
     swin_cfg: Optional[Dict[str, Any]] = None  # override (tests/dryrun); default swin-small
     predict_masks: bool = False  # serving: outputs = argmax masks, upsampled map never materialised
     return_score_map: bool = False  # training: outputs = LOW-RES score map (feeds ops/fused_ce)
+    quant_int8: bool = False  # int8 MXU matmuls in swin blocks + decoder (ops/quant.py), serving only
 
     @property
     def IN_DIMS(self):
@@ -405,13 +406,15 @@ class _FinalBase(nn.Module):
         return tuple(cfg["embed_dim"] * (2 ** i) for i in range(len(cfg["depths"])))
 
     def _make_vision(self):
-        return SwinModel(attn_impl=self.attn_impl, dtype=self.dtype, **(self.swin_cfg or SWIN_SMALL))
+        return SwinModel(attn_impl=self.attn_impl, dtype=self.dtype,
+                         quant=self.quant_int8, **(self.swin_cfg or SWIN_SMALL))
 
     def _make_decoder(self, cls):
         return cls(
             in_dims=self.IN_DIMS, depth=tuple(self.dec_depth), dim=self.dec_dim,
             nhead=self.nhead, dropout=self.dropout,
             tie_block_weights=self.tie_block_weights, attn_impl=self.attn_impl,
+            quant=self.quant_int8,
         )
 
     def _finish(self, v_tokens, t):

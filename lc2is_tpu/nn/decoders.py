@@ -169,11 +169,13 @@ class SelfABlock(nn.Module):
     upsample: int = 2
     tie_weights: bool = True
     attn_impl: str = "auto"
+    quant: bool = False
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         kw = dict(d_model=self.d_model, nhead=self.nhead, sr_ratio=self.sr_ratio,
-                  dropout=self.dropout, attn_impl=self.attn_impl, param_dtype=self.param_dtype)
+                  dropout=self.dropout, attn_impl=self.attn_impl, quant=self.quant,
+                  param_dtype=self.param_dtype)
         n_distinct = 1 if self.tie_weights else self.depth
         self.layers = [SRTransformerEncoderLayer(**kw, name=f"layers_{i}") for i in range(n_distinct)]
 
@@ -200,11 +202,13 @@ class CrossABlock(nn.Module):
     upsample: int = 2
     tie_weights: bool = True
     attn_impl: str = "auto"
+    quant: bool = False
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         kw = dict(d_model=self.d_model, nhead=self.nhead, sr_ratio=self.sr_ratio,
-                  dropout=self.dropout, attn_impl=self.attn_impl, param_dtype=self.param_dtype)
+                  dropout=self.dropout, attn_impl=self.attn_impl, quant=self.quant,
+                  param_dtype=self.param_dtype)
         n_distinct = 1 if self.tie_weights else self.depth
         self.layers = [SRTransformerDecoderLayer(**kw, name=f"layers_{i}") for i in range(n_distinct)]
 
@@ -227,6 +231,7 @@ class _HierarchicalBase(nn.Module):
     dropout: float = 0.1
     tie_block_weights: bool = True
     attn_impl: str = "auto"
+    quant: bool = False  # int8 serving matmuls in the SR layers (ops/quant.py)
     param_dtype: jnp.dtype = jnp.float32
 
     _block_cls = None  # set by subclasses
@@ -242,7 +247,7 @@ class _HierarchicalBase(nn.Module):
         self.linear2_stage_4 = Linear(self.dim, **kw)
         blk = dict(d_model=self.dim, nhead=self.nhead, sr_ratio=2,
                    dropout=self.dropout, tie_weights=self.tie_block_weights,
-                   attn_impl=self.attn_impl, **kw)
+                   attn_impl=self.attn_impl, quant=self.quant, **kw)
         cls = type(self)._block_cls
         # TPU optimisation: every stream's LAST block upsamples to the same
         # stage-1 resolution, and the upsample is linear — so the final x2 is

@@ -227,13 +227,21 @@ def _ff_res_norm(layer, x, norm, *, pre: bool, deterministic: bool):
         and (deterministic or layer.dropout == 0.0)
     )
     if fusable:
-        from lc2is_tpu.ops.fused_mlp import fused_mlp
-
         ln_w, ln_b = norm(x, return_params=True)
         w1, b1 = layer.linear1(x, return_params=True)
         w2, b2 = layer.linear2(
             jax.ShapeDtypeStruct((layer.dim_feedforward,), x.dtype), return_params=True
         )
+        if getattr(layer, "quant", False):
+            from lc2is_tpu.ops.quant import fused_mlp_q
+
+            return fused_mlp_q(
+                x, ln_w, ln_b, w1, b1, w2, b2, activation=layer.activation,
+                ln_position="pre" if pre else "post", eps=layer.layer_norm_eps,
+                interpret=pallas_interpret(),
+            )
+        from lc2is_tpu.ops.fused_mlp import fused_mlp
+
         return fused_mlp(
             x, ln_w, ln_b, w1, b1, w2, b2, activation=layer.activation,
             ln_position="pre" if pre else "post", eps=layer.layer_norm_eps,
@@ -255,6 +263,7 @@ class TransformerEncoderLayer(nn.Module):
     layer_norm_eps: float = 1e-5
     norm_first: bool = False
     attn_impl: str = "auto"
+    quant: bool = False  # int8 q/out-proj + MLP matmuls (ops/quant.py), serving only
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -292,7 +301,8 @@ class TransformerEncoderLayer(nn.Module):
         n1w, n1b = self.norm1(x, return_params=True)
         x = fused_attn_block(
             x, src @ wk.T + bk, src @ wv.T + bv, wq, bq, wo, bo, n1w, n1b,
-            self.nhead, eps=self.layer_norm_eps, interpret=pallas_interpret())
+            self.nhead, eps=self.layer_norm_eps, interpret=pallas_interpret(),
+            quant=self.quant)
         return _ff_res_norm(self, x, self.norm2, pre=False, deterministic=deterministic)
 
     def __call__(self, src, src_mask=None, src_key_padding_mask=None, deterministic: bool = True):
@@ -328,6 +338,7 @@ class TransformerDecoderLayer(nn.Module):
     layer_norm_eps: float = 1e-5
     norm_first: bool = False
     attn_impl: str = "auto"
+    quant: bool = False  # int8 q/out-proj + MLP matmuls (ops/quant.py), serving only
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -380,7 +391,7 @@ class TransformerDecoderLayer(nn.Module):
         n1w, n1b = self.norm1(x, return_params=True)
         x = fused_attn_block(
             x, src @ wk.T + bk, src @ wv.T + bv, wq, bq, wo, bo, n1w, n1b,
-            self.nhead, eps=eps, interpret=interp)
+            self.nhead, eps=eps, interpret=interp, quant=self.quant)
 
         # symmetric AND asymmetric kdim/vdim both land here: K/V are
         # projected to d_model in XLA first (wk2 is (E, kdim) — the kernel
@@ -392,7 +403,7 @@ class TransformerDecoderLayer(nn.Module):
         mem = memory.astype(dt)
         x = fused_attn_block(
             x, mem @ wk2.T + bk2, mem @ wv2.T + bv2, wq2, bq2, wo2, bo2,
-            n2w, n2b, self.nhead, eps=eps, interpret=interp)
+            n2w, n2b, self.nhead, eps=eps, interpret=interp, quant=self.quant)
 
         return _ff_res_norm(self, x, self.norm3, pre=False, deterministic=deterministic)
 

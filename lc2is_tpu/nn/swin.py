@@ -242,6 +242,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     attn_impl: str = "auto"
+    quant: bool = False  # int8 QKV/proj/MLP matmuls (ops/quant.py), serving only
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -299,6 +300,12 @@ class SwinBlock(nn.Module):
             if merge_mlp:
                 return yc.reshape(b, p, c)
             x = yc.reshape(b, p, c)
+            if self.quant:
+                from lc2is_tpu.ops.quant import fused_mlp_q
+
+                return fused_mlp_q(x, ln_w2, ln_b2, w1, b1, w2, b2,
+                                   activation="gelu", ln_position="pre",
+                                   interpret=pallas_interpret())
             from lc2is_tpu.ops.fused_mlp import fused_mlp
 
             return fused_mlp(x, ln_w2, ln_b2, w1, b1, w2, b2, activation="gelu",
@@ -333,7 +340,7 @@ class SwinBlock(nn.Module):
             aw = fused_window_block(
                 xw, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, regions,
                 self.num_heads, residual=True, interpret=pallas_interpret(),
-                pad_mask=pads,
+                pad_mask=pads, quant=self.quant,
             )
         else:
             aw = self.attention(xw, (hp, wp, win, shift), eff_window=win)
@@ -347,12 +354,18 @@ class SwinBlock(nn.Module):
             x = shortcut + self._drop_path(x, deterministic)
 
         if pallas_enabled(self.attn_impl) and (deterministic or self.drop_path == 0.0):
-            from lc2is_tpu.ops.fused_mlp import fused_mlp
-
             ln_w, ln_b = self.layernorm_after(x, return_params=True)
             w1, b1 = self.intermediate(x, return_params=True)
             ff_dim = int(self.dim * self.mlp_ratio)
             w2, b2 = self.output(jax.ShapeDtypeStruct((ff_dim,), x.dtype), return_params=True)
+            if self.quant:
+                from lc2is_tpu.ops.quant import fused_mlp_q
+
+                return fused_mlp_q(x, ln_w, ln_b, w1, b1, w2, b2,
+                                   activation="gelu", ln_position="pre",
+                                   interpret=pallas_interpret())
+            from lc2is_tpu.ops.fused_mlp import fused_mlp
+
             return fused_mlp(x, ln_w, ln_b, w1, b1, w2, b2, activation="gelu",
                              ln_position="pre", interpret=pallas_interpret())
         y = self.output(self.intermediate(self.layernorm_after(x)))
@@ -391,6 +404,7 @@ class SwinStage(nn.Module):
     downsample: bool
     drop_path_rates: Sequence[float]
     attn_impl: str = "auto"
+    quant: bool = False
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -399,7 +413,8 @@ class SwinStage(nn.Module):
                 self.dim, self.num_heads, self.window,
                 shift=0 if i % 2 == 0 else self.window // 2,
                 drop_path=self.drop_path_rates[i],
-                attn_impl=self.attn_impl, param_dtype=self.param_dtype,
+                attn_impl=self.attn_impl, quant=self.quant,
+                param_dtype=self.param_dtype,
                 name=f"blocks_{i}",
             )
             for i in range(self.depth)
@@ -426,6 +441,7 @@ class SwinModel(nn.Module):
     patch_size: int = 4
     drop_path_rate: float = 0.1
     attn_impl: str = "auto"
+    quant: bool = False  # int8 serving matmuls in blocks (ops/quant.py)
     param_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype = jnp.float32
 
@@ -445,6 +461,7 @@ class SwinModel(nn.Module):
                     downsample=i < len(self.depths) - 1,
                     drop_path_rates=tuple(dpr[cur : cur + depth]),
                     attn_impl=self.attn_impl,
+                    quant=self.quant,
                     param_dtype=self.param_dtype,
                     name=f"stages_{i}",
                 )

@@ -35,14 +35,25 @@ def _ln(xf, w, b, eps):
 
 
 def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wo_ref, bo_ref, lnw_ref, lnb_ref,
-            o_ref, attn_sc, *, num_heads, scale, eps, post_ln):
+            *rest, num_heads, scale, eps, post_ln, quant=False):
+    if quant:
+        # int8 wq/wo ride in wq_ref/wo_ref with two extra scale refs
+        # (ops/quant.py scheme; serving-only)
+        wqs_ref, wos_ref, o_ref, attn_sc = rest
+    else:
+        o_ref, attn_sc = rest
     t, c = x_ref.shape[1], x_ref.shape[2]
     dh = c // num_heads
     x = x_ref[0]  # (T, C)
-    q = jax.lax.dot_general(
-        x, wq_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bq_ref[...].astype(jnp.float32)
+    if quant:
+        from lc2is_tpu.ops.quant import qdot
+
+        q = qdot(x, wq_ref[...], wqs_ref[...]) + bq_ref[...].astype(jnp.float32)
+    else:
+        q = jax.lax.dot_general(
+            x, wq_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bq_ref[...].astype(jnp.float32)
     q = q.astype(x.dtype)
     k = k_ref[0]
     v = v_ref[0]
@@ -61,10 +72,15 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wo_ref, bo_ref, lnw_ref, lnb_re
             preferred_element_type=jnp.float32,
         ).astype(attn_sc.dtype)
 
-    proj = jax.lax.dot_general(
-        attn_sc[...], wo_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[...].astype(jnp.float32)
+    if quant:
+        from lc2is_tpu.ops.quant import qdot
+
+        proj = qdot(attn_sc[...], wo_ref[...], wos_ref[...]) + bo_ref[...].astype(jnp.float32)
+    else:
+        proj = jax.lax.dot_general(
+            attn_sc[...], wo_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[...].astype(jnp.float32)
     s = proj + x.astype(jnp.float32)
     if post_ln:
         s = _ln(s, lnw_ref[...].astype(jnp.float32), lnb_ref[...].astype(jnp.float32), eps)
@@ -110,8 +126,13 @@ def _vjp_fwd(x, k, v, wq, bq, wo, bo, ln_w, ln_b, num_heads, eps, post_ln,
 
 def _vjp_bwd(num_heads, eps, post_ln, block_q, interpret, res, g):
     x, k, v, wq, bq, wo, bo, ln_w, ln_b = res
-    # fused Pallas backward when K/V fit VMEM alongside their accumulators
-    if k.shape[1] * k.shape[2] * 12 <= 8 * 1024 * 1024:
+    # fused Pallas backward when K/V fit VMEM alongside their accumulators.
+    # The budget covers the decoder's BIG SR self-attention (L=4096, C=512:
+    # k/v bf16 8 MB + f32 dk/dv 32 MB + per-block logits ≈ 44 MB, inside the
+    # 100 MB cap) — without it that case XLA-recomputes and materialises the
+    # (B, H, 16k, 4k) f32 logits twice through HBM, which dominated the
+    # training step (bench_train 46 img/s with the 8 MB gate).
+    if k.shape[1] * k.shape[2] * 12 <= 40 * 1024 * 1024:
         return _bwd_pallas(x, k, v, wq, bq, wo, bo, ln_w, ln_b, g,
                            num_heads, eps, post_ln, interpret)
     _, vjp = jax.vjp(
@@ -123,7 +144,7 @@ _fused_attn_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def _fwd_impl(x, k, v, wq, bq, wo, bo, ln_w, ln_b, num_heads, eps, post_ln,
-              block_q, interpret):
+              block_q, interpret, quant=False):
     b, p, c = x.shape
     l = k.shape[1]
     dh = c // num_heads
@@ -143,29 +164,44 @@ def _fwd_impl(x, k, v, wq, bq, wo, bo, ln_w, ln_b, num_heads, eps, post_ln,
     if p_pad != p:
         x = jnp.pad(x, ((0, 0), (0, p_pad - p), (0, 0)))
 
+    in_specs = [
+        pl.BlockSpec((1, bt, c), lambda bb, ii: (bb, ii, 0)),
+        pl.BlockSpec((1, l, c), lambda bb, ii: (bb, 0, 0)),
+        pl.BlockSpec((1, l, c), lambda bb, ii: (bb, 0, 0)),
+        pl.BlockSpec((c, c), lambda bb, ii: (0, 0)),
+        pl.BlockSpec((1, c), lambda bb, ii: (0, 0)),
+        pl.BlockSpec((c, c), lambda bb, ii: (0, 0)),
+        pl.BlockSpec((1, c), lambda bb, ii: (0, 0)),
+        pl.BlockSpec((1, c), lambda bb, ii: (0, 0)),
+        pl.BlockSpec((1, c), lambda bb, ii: (0, 0)),
+    ]
+    if quant:
+        from lc2is_tpu.ops.quant import quantize_weight
+
+        wq_q, wq_s = quantize_weight(wq)
+        wo_q, wo_s = quantize_weight(wo)
+        warg, woarg = wq_q, wo_q
+        extra_args = (wq_s, wo_s)
+        in_specs += [pl.BlockSpec((1, c), lambda bb, ii: (0, 0)),
+                     pl.BlockSpec((1, c), lambda bb, ii: (0, 0))]
+    else:
+        warg, woarg = wq.astype(wdt), wo.astype(wdt)
+        extra_args = ()
+
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, scale=scale, eps=eps,
-                          post_ln=post_ln),
+                          post_ln=post_ln, quant=quant),
         grid=(b, p_pad // bt),
-        in_specs=[
-            pl.BlockSpec((1, bt, c), lambda bb, ii: (bb, ii, 0)),
-            pl.BlockSpec((1, l, c), lambda bb, ii: (bb, 0, 0)),
-            pl.BlockSpec((1, l, c), lambda bb, ii: (bb, 0, 0)),
-            pl.BlockSpec((c, c), lambda bb, ii: (0, 0)),
-            pl.BlockSpec((1, c), lambda bb, ii: (0, 0)),
-            pl.BlockSpec((c, c), lambda bb, ii: (0, 0)),
-            pl.BlockSpec((1, c), lambda bb, ii: (0, 0)),
-            pl.BlockSpec((1, c), lambda bb, ii: (0, 0)),
-            pl.BlockSpec((1, c), lambda bb, ii: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bt, c), lambda bb, ii: (bb, ii, 0)),
         out_shape=jax.ShapeDtypeStruct((b, p_pad, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((bt, c), x.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, k.astype(wdt), v.astype(wdt), wq.astype(wdt),
-      bq.reshape(1, c).astype(wdt), wo.astype(wdt), bo.reshape(1, c).astype(wdt),
-      ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt))
+    )(x, k.astype(wdt), v.astype(wdt), warg,
+      bq.reshape(1, c).astype(wdt), woarg, bo.reshape(1, c).astype(wdt),
+      ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
+      *extra_args)
     return out[:, :p]
 
 
@@ -181,8 +217,12 @@ def fused_attn_block(
     post_ln: bool = True,
     block_q: Optional[int] = None,
     interpret: bool = False,
+    quant: bool = False,  # int8 q/out projections (ops/quant.py) — serving only
 ) -> jnp.ndarray:
     """out = LN(x + proj(attn(q(x), k, v)))  (torch post-norm layer half)."""
+    if quant:
+        return _fwd_impl(x, k, v, wq, bq, wo, bo, ln_w, ln_b,
+                         num_heads, eps, post_ln, block_q, interpret, quant=True)
     return _fused_attn_vjp(x, k, v, wq, bq, wo, bo, ln_w, ln_b,
                            num_heads, eps, post_ln, block_q, interpret)
 
@@ -355,13 +395,13 @@ def _bwd_pallas(x, k, v, wq, bq, wo, bo, ln_w, ln_b, g, num_heads, eps,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, p_pad, c), wdt),
-            # dk/dv accumulate in f32 when the (1, L, C) accumulator pair fits
-            # VMEM (the common 151-key text case) — read-modify-write in bf16
-            # compounds one rounding per query block; above the threshold the
-            # f32 pair plus k/v double-buffering overflows VMEM (18.2 MB at
-            # L=1024/C=512) and the compute dtype is kept
-            jax.ShapeDtypeStruct((b, l, c), jnp.float32 if l * c <= 262144 else wdt),
-            jax.ShapeDtypeStruct((b, l, c), jnp.float32 if l * c <= 262144 else wdt),
+            # dk/dv accumulate in f32 whenever the (1, L, C) accumulator pair
+            # fits the 100 MB VMEM cap next to k/v and the logits block —
+            # read-modify-write in bf16 compounds one rounding per query
+            # block (up to 128 steps at P=16k), so bf16 is only kept as a
+            # last resort above the threshold
+            jax.ShapeDtypeStruct((b, l, c), jnp.float32 if l * c <= 4 * 1024 * 1024 else wdt),
+            jax.ShapeDtypeStruct((b, l, c), jnp.float32 if l * c <= 4 * 1024 * 1024 else wdt),
             jax.ShapeDtypeStruct((c, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((c, c), jnp.float32),

@@ -327,6 +327,36 @@ def _xla_canvas_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
     return y[:, :h, :w]
 
 
+def _pallas_windowed_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                               num_heads, win, shift, eps, interpret):
+    """Same HF semantics as ``_xla_canvas_reference`` but through
+    ``fused_window_block`` — whose custom VJP is a Pallas in-VMEM backward.
+    Differentiating THIS in ``_canvas_bwd`` makes the canvas block's training
+    cost: windowed layout (XLA pad/roll/partition, linear ops) + one Pallas
+    forward recompute + one Pallas backward, instead of a full unfused XLA
+    forward+backward (measured: the XLA-recompute route erased the canvas
+    forward's win in bench_train)."""
+    from lc2is_tpu.nn.swin import window_partition, window_reverse
+    from lc2is_tpu.ops.window_attention import (fused_window_block,
+                                                pad_labels, region_labels)
+
+    b, h, w, c = x.shape
+    _, hp, wp, _, _ = _geom(h, w, win, shift)
+    xp = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    if shift:
+        xp = jnp.roll(xp, (-shift, -shift), axis=(1, 2))
+    xw = window_partition(xp, win)
+    regions = region_labels(b, hp, wp, win, shift) if shift else None
+    pads = pad_labels(b, h, w, hp, wp, win, shift)
+    yw = fused_window_block(xw, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, regions,
+                            num_heads, eps=eps, residual=True,
+                            interpret=interpret, pad_mask=pads)
+    y = window_reverse(yw, win, hp, wp)
+    if shift:
+        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+    return y[:, :h, :w]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _canvas_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
                 num_heads, win, shift, eps, interpret):
@@ -342,12 +372,14 @@ def _canvas_fwd(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
 
 
 def _canvas_bwd(num_heads, win, shift, eps, interpret, res, g):
-    """Windowed-layout reconstruction + the existing Pallas backward kernel
-    (C ≤ 512) or XLA recompute — training cost matches the windowed path."""
+    """Windowed-layout reconstruction + the fused block's Pallas backward
+    (see _pallas_windowed_reference) — training cost matches the windowed
+    fused path instead of the unfused XLA recompute."""
     x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias = res
     _, vjp = jax.vjp(
-        lambda x_, lw, lb, wq, bq, wo_, bo_, bi: _xla_canvas_reference(
-            x_, lw, lb, wq, bq, wo_, bo_, bi, num_heads, win, shift, eps),
+        lambda x_, lw, lb, wq, bq, wo_, bo_, bi: _pallas_windowed_reference(
+            x_, lw, lb, wq, bq, wo_, bo_, bi, num_heads, win, shift, eps,
+            interpret),
         x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias)
     return vjp(g)
 
@@ -388,9 +420,18 @@ def _canvas_mlp_fwd(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
 
 
 def _canvas_mlp_bwd(num_heads, win, shift, eps, interpret, res, g):
-    _, vjp = jax.vjp(
-        lambda *a: _xla_canvas_mlp_reference(*a, num_heads, win, shift, eps),
-        *res)
+    def ref(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, ln2_w, ln2_b, w1, b1, w2, b2):
+        from lc2is_tpu.ops.fused_mlp import fused_mlp
+
+        a = _pallas_windowed_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
+                                       num_heads, win, shift, eps, interpret)
+        b_, h, w, c = a.shape
+        y = fused_mlp(a.reshape(b_, h * w, c), ln2_w, ln2_b, w1, b1, w2, b2,
+                      activation="gelu", ln_position="pre", eps=eps,
+                      interpret=interpret)
+        return y.reshape(b_, h, w, c)
+
+    _, vjp = jax.vjp(ref, *res)
     return vjp(g)
 
 

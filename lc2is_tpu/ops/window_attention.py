@@ -246,8 +246,14 @@ def _ln_f32(x, w, b, eps):
 
 
 def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-                  reg_ref, pad_ref, bias_ref, o_ref, attn_sc,
-                  *, num_heads, scale, eps, residual):
+                  reg_ref, pad_ref, bias_ref, *rest,
+                  num_heads, scale, eps, residual, quant=False):
+    if quant:
+        # int8 weights ride in wqkv_ref/wo_ref; their per-channel scales are
+        # two extra refs (ops/quant.py scheme; serving-only)
+        wqkvs_ref, wos_ref, o_ref, attn_sc = rest
+    else:
+        o_ref, attn_sc = rest
     g, p, c = x_ref.shape  # p is padded to a sublane-aligned multiple (64)
     dh = c // num_heads
     x = x_ref[...]
@@ -261,12 +267,16 @@ def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     # the pad tokens must be re-zeroed here — LN(0)=ln_bias otherwise.
     # (unsqueeze on the int32 (g, p) mask — a (g·p, 1) reshape is a
     # minor-dim insert Mosaic cannot lower)
-    h = jnp.where(pad_ref[...][:, :, None] != 0, 0.0,
-                  h.reshape(g, p, c)).reshape(g * p, c).astype(x.dtype)
-    qkv2 = jax.lax.dot_general(
-        h, wqkv_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[...].astype(jnp.float32)  # (g·p, 3C)
+    h = jnp.where(pad_ref[...][:, :, None] != 0, 0.0, h.reshape(g, p, c)).reshape(g * p, c)
+    if quant:
+        from lc2is_tpu.ops.quant import qdot
+
+        qkv2 = qdot(h, wqkv_ref[...], wqkvs_ref[...]) + bqkv_ref[...].astype(jnp.float32)
+    else:
+        qkv2 = jax.lax.dot_general(
+            h.astype(x.dtype), wqkv_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv_ref[...].astype(jnp.float32)  # (g·p, 3C)
     qkv = qkv2.astype(x.dtype).reshape(g, p, 3 * c)
 
     reg = reg_ref[...]
@@ -290,10 +300,16 @@ def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
             preferred_element_type=jnp.float32,
         ).astype(attn_sc.dtype)
 
-    proj = jax.lax.dot_general(
-        attn_sc[...].reshape(g * p, c), wo_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[...].astype(jnp.float32)
+    if quant:
+        from lc2is_tpu.ops.quant import qdot
+
+        proj = qdot(attn_sc[...].reshape(g * p, c), wo_ref[...], wos_ref[...])
+        proj = proj + bo_ref[...].astype(jnp.float32)
+    else:
+        proj = jax.lax.dot_general(
+            attn_sc[...].reshape(g * p, c), wo_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[...].astype(jnp.float32)
     if residual:
         proj = proj + x2.astype(jnp.float32)
     o_ref[...] = proj.reshape(g, p, c).astype(o_ref.dtype)
@@ -363,7 +379,8 @@ _fused_block_vjp.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
 def _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad_mask,
-                          bias, num_heads, eps, residual, block_windows, interpret):
+                          bias, num_heads, eps, residual, block_windows, interpret,
+                          quant=False):
     n, p, c = x.shape
     dh = c // num_heads
     scale = 1.0 / np.sqrt(dh)
@@ -403,31 +420,45 @@ def _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad_mask,
 
     from jax.experimental.pallas import tpu as pltpu
 
+    in_specs = [
+        pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, c), lambda i: (0, 0)),
+        pl.BlockSpec((1, c), lambda i: (0, 0)),
+        pl.BlockSpec((3 * c, c), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
+        pl.BlockSpec((c, c), lambda i: (0, 0)),
+        pl.BlockSpec((1, c), lambda i: (0, 0)),
+        pl.BlockSpec((g, p_pad), lambda i: (i, 0)),
+        pl.BlockSpec((g, p_pad), lambda i: (i, 0)),
+        pl.BlockSpec((num_heads, p_pad, p_pad), lambda i: (0, 0, 0)),
+    ]
+    if quant:
+        from lc2is_tpu.ops.quant import quantize_weight
+
+        wqkv_q, wqkv_s = quantize_weight(wqkv)
+        wo_q, wo_s = quantize_weight(wo)
+        w_args = (wqkv_q, bqkv.reshape(1, 3 * c).astype(wdt),
+                  wo_q, bo.reshape(1, c).astype(wdt))
+        extra_args = (wqkv_s, wo_s)
+        in_specs += [pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
+                     pl.BlockSpec((1, c), lambda i: (0, 0))]
+    else:
+        w_args = (wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt),
+                  wo.astype(wdt), bo.reshape(1, c).astype(wdt))
+        extra_args = ()
+
     out = pl.pallas_call(
         functools.partial(_block_kernel, num_heads=num_heads, scale=scale,
-                          eps=eps, residual=residual),
+                          eps=eps, residual=residual, quant=quant),
         grid=(n_pad // g,),
-        in_specs=[
-            pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((3 * c, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
-            pl.BlockSpec((c, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((g, p_pad), lambda i: (i, 0)),
-            pl.BlockSpec((g, p_pad), lambda i: (i, 0)),
-            pl.BlockSpec((num_heads, p_pad, p_pad), lambda i: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, p_pad, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((g, p_pad, c), x.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
-      wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt),
-      wo.astype(wdt), bo.reshape(1, c).astype(wdt), regions, pad_mask,
-      bias.astype(jnp.float32))
+      *w_args, regions, pad_mask, bias.astype(jnp.float32), *extra_args)
     return out[:n, :p]
 
 
@@ -445,8 +476,15 @@ def fused_window_block(
     block_windows: Optional[int] = None,
     interpret: bool = False,
     pad_mask: Optional[jnp.ndarray] = None,  # (N, p) nonzero at canvas-pad tokens
+    quant: bool = False,  # int8 QKV/proj matmuls (ops/quant.py) — serving only
 ) -> jnp.ndarray:
     """out = [x +] proj(window_attn(qkv(LN(x)))) — one VMEM pass."""
+    if quant:
+        # serving-only int8 path: no VJP (training keeps bf16)
+        return _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo,
+                                     regions, pad_mask, bias, num_heads, eps,
+                                     residual, block_windows, interpret,
+                                     quant=True)
     dummy = jnp.zeros((x.shape[0], x.shape[1]), jnp.int32)
     return _fused_block_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo,
                             dummy if regions is None else regions,

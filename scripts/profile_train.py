@@ -100,8 +100,9 @@ def main(part):
         return fn(p, *a).astype(jnp.float32) * 1e-6
 
     eps0 = jnp.asarray(0.0, jnp.float32)
-    gcomp = jax.jit(gstep).lower(params, list(args), eps0).compile()
-    fcomp = jax.jit(fstep).lower(params, list(args), eps0).compile()
+    todo = [("grad_step_ms", gstep)]
+    if os.environ.get("LC2IS_PROFILE_GRAD_ONLY", "1") != "1":
+        todo.append(("fwd_ms", fstep))
 
     def chain(comp):
         eps = eps0
@@ -110,7 +111,15 @@ def main(part):
         return float(eps)
 
     out = {}
-    for name, comp in (("grad_step_ms", gcomp), ("fwd_ms", fcomp)):
+    for name, fn_ in todo:
+        comp = jax.jit(fn_).lower(params, list(args), eps0).compile()
+        try:
+            cost = comp.cost_analysis()
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            out[name.replace("_ms", "_gbytes")] = round(
+                float(cost.get("bytes accessed", 0.0)) / 1e9, 2)
+        except Exception:
+            pass
         chain(comp)
         t0 = time.perf_counter()
         chain(comp)

@@ -133,3 +133,16 @@ def test_fused_window_block_grad_stage4_width():
     g2 = jax.grad(lambda v: _xla_block_reference(v, lw, lb, wqkv, bqkv, wo, bo,
                                                  None, bias, 24, 1e-5, True).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_window_block_quant_close():
+    """int8 serving path (QKV/proj on the int8 MXU): bounded deviation from
+    the f32 composition, regions + pad-mask exercised."""
+    x, lw, lb, wqkv, bqkv, wo, bo, bias, regions = _mk(12, 49, 64, 4, seed=5,
+                                                       with_regions=True)
+    want = np.asarray(_xla_block_reference(x, lw, lb, wqkv, bqkv, wo, bo,
+                                           regions, bias, 4, 1e-5, True))
+    got = np.asarray(fused_window_block(x, lw, lb, wqkv, bqkv, wo, bo, bias,
+                                        regions, 4, interpret=True, quant=True))
+    denom = np.abs(want).max()
+    assert np.abs(got - want).max() / denom < 0.05
