@@ -171,14 +171,15 @@ class CLIPVisionEmbeddings(nn.Module):
             self.param_dtype,
         )
         x = jnp.moveaxis(pixel_values, 1, -1)  # NHWC
-        patches = jax.lax.conv_general_dilated(
-            x, w.astype(x.dtype),
-            window_strides=(self.patch_size, self.patch_size),
-            padding="VALID",
-            dimension_numbers=("NHWC", "OIHW", "NHWC"),
-        )
-        b, h, ww, c = patches.shape
-        patches = patches.reshape(b, h * ww, c)
+        # stride==kernel conv as space-to-depth + matmul (same math, pure
+        # MXU in forward and backward)
+        p = self.patch_size
+        b, hh, www, cin = x.shape
+        oh, ow = hh // p, www // p
+        patches = x.reshape(b, oh, p, ow, p, cin)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(b, oh * ow, p * p * cin)
+        wm = w.transpose(2, 3, 1, 0).reshape(p * p * cin, e)
+        patches = patches @ wm.astype(x.dtype)
         cls_tok = jnp.broadcast_to(cls.astype(x.dtype), (b, 1, e))
         tokens = jnp.concatenate([cls_tok, patches], axis=1)
         return tokens + pos.astype(x.dtype)[None]

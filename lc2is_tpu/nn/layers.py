@@ -91,13 +91,26 @@ class Conv2d(nn.Module):
         in_channels = x.shape[-1]
         k = self.kernel_size
         w = self.param("weight", tinit.torch_conv_weight, (self.out_channels, in_channels, k, k), self.param_dtype)
-        y = jax.lax.conv_general_dilated(
-            x,
-            w.astype(x.dtype),
-            window_strides=(self.stride, self.stride),
-            padding="VALID",
-            dimension_numbers=("NHWC", "OIHW", "NHWC"),
-        )
+        if self.stride == k:
+            # every use here is stride==kernel (patch embed, SR reduce), which
+            # is exactly space-to-depth + matmul: identical math, and BOTH the
+            # forward and the VJP become plain MXU matmuls instead of XLA
+            # conv / conv-transpose kernels
+            b_, h, wd, c = x.shape
+            oh, ow = h // k, wd // k
+            p = x[:, : oh * k, : ow * k].reshape(b_, oh, k, ow, k, c)
+            p = p.transpose(0, 1, 3, 2, 4, 5).reshape(b_, oh, ow, k * k * c)
+            # (O, I, ky, kx) -> (ky·kx·I, O) in the patch vector's order
+            wm = w.transpose(2, 3, 1, 0).reshape(k * k * c, self.out_channels)
+            y = p @ wm.astype(x.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                w.astype(x.dtype),
+                window_strides=(self.stride, self.stride),
+                padding="VALID",
+                dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            )
         if self.use_bias:
             b = self.param("bias", tinit.torch_linear_bias(in_channels * k * k), (self.out_channels,), self.param_dtype)
             y = y + b.astype(x.dtype)

@@ -501,12 +501,15 @@ class SwinPatchEmbed(nn.Module):
         pad_w = (p - ww % p) % p
         if pad_h or pad_w:
             x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        y = jax.lax.conv_general_dilated(
-            x, w.astype(x.dtype), window_strides=(p, p), padding="VALID",
-            dimension_numbers=("NHWC", "OIHW", "NHWC"),
-        ) + b_.astype(x.dtype)
-        bsz, oh, ow, c = y.shape
-        return y.reshape(bsz, oh * ow, c), (oh, ow)
+        # stride==kernel conv as space-to-depth + matmul (same math, pure
+        # MXU in forward AND backward — no conv-transpose in the VJP)
+        bsz, hh, www, cin = x.shape
+        oh, ow = hh // p, www // p
+        patches = x.reshape(bsz, oh, p, ow, p, cin)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, oh * ow, p * p * cin)
+        wm = w.transpose(2, 3, 1, 0).reshape(p * p * cin, self.embed_dim)
+        y = patches @ wm.astype(x.dtype) + b_.astype(x.dtype)
+        return y, (oh, ow)
 
 
 # Named configs matching the HF checkpoints the reference loads.

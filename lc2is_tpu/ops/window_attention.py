@@ -402,8 +402,13 @@ def _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad_mask,
     if block_windows is not None:
         g = min(block_windows, n)
     else:
+        import os as _os
+
+        # activation VMEM budget per grid step; sweepable for perf probes
+        # (more windows per step = fewer grid steps + bigger matmuls)
+        budget_mb = int(_os.environ.get("LC2IS_WINBLOCK_MB", "6"))
         per_window = 5 * p_pad * c * 2 + p_pad * p_pad * 4  # x, qkv(3), attn + logits
-        g = min(max(8, min(64, (6 * 1024 * 1024) // per_window)), n)
+        g = min(max(8, min(256, (budget_mb * 1024 * 1024) // per_window)), n)
         g = max(8, (g // 8) * 8)
     n_pad = ((n + g - 1) // g) * g
     if n_pad != n:

@@ -77,5 +77,23 @@ def main(case):
     print(json.dumps(dict(case=case, ms=round(t * 1e3, 3))))
 
 
+
+
+# sweep helper: LC2IS_WINBLOCK_MB budgets for the attn case
+# usage: python scripts/probe_stage3.py sweep
+def sweep():
+    import subprocess
+
+    for mb in (6, 12, 24, 48):
+        env = dict(os.environ, LC2IS_WINBLOCK_MB=str(mb))
+        r = subprocess.run([sys.executable, os.path.abspath(__file__), "attn"],
+                           env=env, capture_output=True, text=True)
+        line = (r.stdout.strip().splitlines() or ["?"])[-1]
+        print(f"budget {mb} MB: {line}", flush=True)
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "block")
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep()
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1 else "block")
