@@ -219,7 +219,7 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         return
 
     # ---- fused MLP half: out = s + W2·gelu(W1·LN2(s)) ----
-    from lc2is_tpu.ops.fused_mlp import _erf_f32
+    from lc2is_tpu.ops.fused_mlp import _act_fn
 
     ln2w = ln2w_ref[...].astype(jnp.float32)
     ln2b = ln2b_ref[...].astype(jnp.float32)
@@ -238,7 +238,7 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         u = jax.lax.dot_general(hh, w1_ref[...], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         u = u + b1_ref[...].astype(jnp.float32)
-        u = (0.5 * u * (1.0 + _erf_f32(u * jnp.float32(0.7071067811865476))))
+        u = _act_fn("gelu")(u)
         u = u.astype(o_ref.dtype)
         y2 = jax.lax.dot_general(u, w2_ref[...], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
