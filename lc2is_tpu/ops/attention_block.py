@@ -66,7 +66,8 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wo_ref, bo_ref, lnw_ref, lnb_re
         ) * scale  # (T, L)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        # per-row reciprocal, not a (T, L) elementwise divide
+        probs = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))).astype(x.dtype)
         attn_sc[:, sl] = jax.lax.dot_general(
             probs, v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -287,7 +288,7 @@ def _bwd_kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wo_ref, bo_ref,
                                      preferred_element_type=jnp.float32) * scale
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        return e / jnp.sum(e, axis=-1, keepdims=True)
+        return e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
 
     att_parts = []
     for h in range(num_heads):

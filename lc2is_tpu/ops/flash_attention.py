@@ -74,7 +74,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     @pl.when(ik == n_k - 1)
     def _finish():
         # fully-masked rows (l == 0) produce NaN like torch softmax would
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        # (1/0 = inf; 0·inf = NaN).  Per-row reciprocal, not a (BQ, d) divide.
+        o_ref[0] = (acc_ref[:] * (1.0 / l_ref[:])).astype(o_ref.dtype)
         # lse = m + log(l): exp(s - lse) is the NORMALISED probability.
         # Stats live as (BH, Lq_p, 1) so both directions are plain (bq, 1)
         # sublane-major blocks — no in-kernel transposes for Mosaic.

@@ -162,7 +162,7 @@ def _bwd_kernel(prv_ref, cur_ref, nxt_ref, lab_p_ref, lab_c_ref, lab_n_ref,
         labc = jnp.clip(lab, 0, k - 1)
         m = jnp.max(v4, axis=2, keepdims=True)
         e = jnp.exp(v4 - m)
-        p = e / jnp.sum(e, axis=2, keepdims=True)
+        p = e * (1.0 / jnp.sum(e, axis=2, keepdims=True))
         delta = p - (ids == labc).astype(jnp.float32)
         if ignore_index is not None:
             delta = delta * (lab != ignore_index).astype(jnp.float32)

@@ -190,7 +190,8 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         logits = jnp.where(masked, NEG, logits)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        # per-row reciprocal, not an elementwise (.., p, p) divide
+        probs = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
         outs.append(jax.lax.dot_general(
             probs.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(o_ref.dtype))

@@ -49,7 +49,9 @@ def _kernel(q_ref, k_ref, v_ref, reg_ref, bias_ref, o_ref, *, num_heads, scale):
         logits = jnp.where(neq, NEG, logits)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        # one divide per ROW (Mosaic lowers elementwise `/` literally; the
+        # (.., p, p) divide was ~p x the VPU work of a (.., p, 1) reciprocal)
+        probs = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
         out = jax.lax.dot_general(
             probs.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -294,7 +296,7 @@ def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         logits = jnp.where(neq, NEG, logits)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        probs = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
         attn_sc[:, :, sl] = jax.lax.dot_general(
             probs.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -584,7 +586,7 @@ def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
         logits = jnp.where(neq, NEG, logits)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)  # (g, p, p) f32
+        probs = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))  # (g, p, p) f32
         pb = probs.astype(x.dtype)
         att_h = jax.lax.dot_general(pb, vh, (((2,), (1,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
