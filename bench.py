@@ -184,6 +184,12 @@ def main():
         "target_3x_mfu12_img_s": round(3 * a100_est, 1),
         "target_3x_mfu25_img_s": round(3 * a100_est_25, 1),
         "pct_of_3x_target_mfu12": round(100 * img_per_s / (3 * a100_est), 1),
+        # measured-census analytic bound on the A100-eager reference
+        # (scripts/measure_reference_eager.py; BASELINE.md §"grounded by op
+        # census"): 3279 launches, 129.3 GB eager HBM traffic per b16
+        # forward ⇒ ≤155 img/s even with zero launch overhead assumptions
+        "a100_eager_census_img_s": 155.2,
+        "vs_census_baseline": round(img_per_s / 155.2, 3),
         "text_cached": True,
         **int8_extras,
     }))

@@ -37,7 +37,9 @@ import torch
 
 torch.manual_seed(0)
 
-BATCH = 2  # CPU: keep the wall time sane; throughput is per-image anyway
+import os
+
+BATCH = int(os.environ.get("LC2IS_EAGER_BATCH", "2"))  # CPU wall-time guard
 IMG = 512
 # swin-small + HierarchicalCrossA flops/img at 512**2 from the repo's pinned
 # XLA cost analysis (bench.py): full flagship is 238.4 GF/img; the prompt
@@ -77,7 +79,17 @@ def build_model():
     SwinModel.from_pretrained = classmethod(
         lambda cls, path, *a, **k: fake_from_pretrained(path))
     from model.encoder import SwinTransformer
-    from model.hierarchical import HierarchicalCrossA
+    from model.hierarchical import (HierarchicalCrossA, SRTransformerCrossA,
+                                    SRTransformerSelfA)
+
+    # torch-version shim: the reference overrides torch's private
+    # _sa_block(x, attn_mask, key_padding_mask); newer torch also passes
+    # is_causal.  Accept-and-drop so the reference runs unmodified.
+    for klass in (SRTransformerCrossA, SRTransformerSelfA):
+        orig_sa = klass._sa_block
+        klass._sa_block = (
+            lambda self, x, attn_mask, key_padding_mask, *a,
+                   _o=orig_sa, **k: _o(self, x, attn_mask, key_padding_mask))
 
     class EagerRef(torch.nn.Module):
         """final.py's BaseCrossA wiring (encoder→decoder→score map),
@@ -105,6 +117,44 @@ def build_model():
     return EagerRef().eval()
 
 
+class OpTrace(torch.utils._python_dispatch.TorchDispatchMode):
+    """Per-aten-op byte/flop census of one eager forward.
+
+    bytes: inputs read + outputs written (fp16 on A100 → 2 B/elt).
+    flops: shape-derived for mm/bmm/conv/einsum-lowered ops; elementwise ops
+    contribute numel (they are bandwidth-bound in the max() model anyway).
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.n_ops = 0
+        self.bytes = 0
+        self.flops = 0
+
+    def __torch_dispatch__(self, func, types, args=(), kwargs=None):
+        out = func(*args, **(kwargs or {}))
+        self.n_ops += 1
+
+        def tens(o):
+            return [t for t in (o if isinstance(o, (tuple, list)) else [o])
+                    if isinstance(t, torch.Tensor)]
+
+        ins = [a for a in args if isinstance(a, torch.Tensor)]
+        outs = tens(out)
+        self.bytes += 2 * (sum(t.numel() for t in ins) + sum(t.numel() for t in outs))
+        name = func.__name__
+        if name.startswith(("mm", "bmm", "addmm", "baddbmm")):
+            a, b = ins[-2], ins[-1]
+            k = a.shape[-1]
+            self.flops += 2 * k * outs[0].numel()
+        elif name.startswith("convolution"):
+            w = ins[1]
+            self.flops += 2 * outs[0].numel() * w[0].numel()
+        else:
+            self.flops += sum(t.numel() for t in outs)
+        return out
+
+
 def main():
     peak = practical_peak_gemm()
     model = build_model()
@@ -116,9 +166,27 @@ def main():
             t0 = time.perf_counter()
             model(x)
             times.append(time.perf_counter() - t0)
+        tracer = OpTrace()
+        with tracer:
+            model(x)
     dt = min(times)
     img_s = BATCH / dt
     mfu = FLOPS_PER_IMG * img_s / peak
+
+    # ---- analytic A100-eager extrapolation from the op census ----------
+    # eager time >= per-op max(compute, HBM traffic) + launch overhead;
+    # zero fusion (each aten op round-trips HBM) — that IS eager semantics.
+    A100_PEAK = 312e12  # fp16 tensor-core
+    A100_BW = 1.55e12   # 40GB SXM HBM2e
+    LAUNCH_S = 6e-6     # measured-typical CUDA launch+dispatch per eager op
+    t_roof = max(tracer.flops / A100_PEAK, tracer.bytes / A100_BW)
+    # per-op roofline sum is tighter than the global roofline: small ops
+    # can't reach either peak, but we lack per-op split here, so report the
+    # optimistic global roofline + launch floor as the BOUND (the truth is
+    # slower → the bound favours the baseline, not us)
+    t_launch = tracer.n_ops * LAUNCH_S
+    a100_eager_optimistic = BATCH / (t_roof + t_launch)
+
     print(json.dumps({
         "metric": "reference_eager_cpu",
         "img_per_s": round(img_s, 4),
@@ -126,6 +194,12 @@ def main():
         "flops_per_img_g": FLOPS_PER_IMG / 1e9,
         "eager_mfu_pct": round(100 * mfu, 2),
         "threads": torch.get_num_threads(),
+        "census_ops_per_fwd": tracer.n_ops,
+        "census_gbytes_per_fwd": round(tracer.bytes / 1e9, 2),
+        "census_gflops_per_fwd": round(tracer.flops / 1e9, 1),
+        "a100_eager_optimistic_img_s": round(a100_eager_optimistic, 1),
+        "a100_eager_optimistic_mfu_pct": round(
+            100 * a100_eager_optimistic * FLOPS_PER_IMG / A100_PEAK, 2),
     }))
 
 
