@@ -62,3 +62,41 @@ def test_fused_mlp_grad_matches_reference():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 3, 5))(*args)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_gelu_poly_matches_exact():
+    """LC2IS_FAST_GELU routes "gelu" to the division-free polynomial; pinned
+    accuracy bound 5e-4 abs vs exact erf-gelu (invisible at bf16 — the knob
+    is serving-only; default stays the 2e-5-tight rational erf)."""
+    from lc2is_tpu.ops.fused_mlp import _act_fn, _gelu_exact_f32, _gelu_poly_f32
+
+    x = jnp.asarray(np.linspace(-12.0, 12.0, 200001), jnp.float32)
+    err = np.abs(np.asarray(_gelu_poly_f32(x)) - np.asarray(_gelu_exact_f32(x)))
+    assert err.max() < 5e-4
+
+    import os
+
+    os.environ["LC2IS_FAST_GELU"] = "1"
+    try:
+        assert _act_fn("gelu") is _gelu_poly_f32
+    finally:
+        del os.environ["LC2IS_FAST_GELU"]
+    assert _act_fn("gelu") is _gelu_exact_f32
+
+
+def test_fused_mlp_fast_gelu_kernel_parity():
+    """The kernel under LC2IS_FAST_GELU stays within the poly's error bound
+    of the exact-gelu XLA composition (loose 2e-3 — includes amplification
+    through W2)."""
+    import os
+
+    args = _make(49, 96, 384, jnp.float32, seed=2)
+    os.environ["LC2IS_FAST_GELU"] = "1"
+    try:
+        got = fused_mlp(*args, activation="gelu", ln_position="pre",
+                        interpret=True, block_tokens=64)
+    finally:
+        del os.environ["LC2IS_FAST_GELU"]
+    want = _xla_reference(*args, act="gelu", pre=True, residual=True, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
