@@ -267,17 +267,32 @@ class SwinBlock(nn.Module):
         shift = self.shift if min(h, w) > self.window else 0
         win = min(win, h, w)  # HF: window_size = min(input_resolution) if smaller
 
-        fuse_attn = pallas_enabled(self.attn_impl) and (deterministic or self.drop_path == 0.0)
+        # Stochastic depth does NOT force the unfused path: the fused kernels
+        # run with residual=False and the per-sample drop-path mask + residual
+        # add happen outside (same math as HF's x + drop_path(branch); the
+        # mask multiply autodiffs around the kernels' custom VJPs).
+        drop_active = self.drop_path > 0.0 and not deterministic
+        fuse_attn = pallas_enabled(self.attn_impl)
 
         import os as _os
 
         # canvas-direct kernel: no pad/roll/partition/reverse layout ops at
         # all — the kernel reads the raw (B, H, W, C) canvas (ops/swin_canvas).
-        # Only a win where layout dominates attention: stages 1-2 (C<=192).
-        # Measured v5e 512²/b16 ms/block (canvas vs windowed): s1 4.14/5.38
-        # shift0, 4.30/6.10 shift3; s2 2.88/3.07, 2.87/3.32; s3 3.03/2.36
-        # shift0 (windowed wins) — hence the C gate.
-        use_canvas = (fuse_attn and c <= 192
+        # Measured v5e 512²/b16 swin fwd: C-gate 192 → 30.6 ms, 384 → 28.8
+        # (image-batched canvas beats the windowed path at stage 3 — the XLA
+        # 7-granular partition/reverse transposes cost ~2.4 ms standalone),
+        # 768 → 29.4 (stage-4 canvas loses; 2 blocks, 9 windows/img) — hence
+        # the default gate at 384.  Drop-path steps run the canvas kernel
+        # with residual=False and apply the per-sample mask + residual add
+        # outside (same scheme as the windowed path below).
+        canvas_maxc = int(_os.environ.get("LC2IS_SWIN_CANVAS_MAXC", "384"))
+        # f32 compute doubles the kernel's canvas-sized VMEM intermediates;
+        # a full f32 stage-1 canvas (6.3 MB) overflows the 128 MB VMEM
+        # (measured: 139.1 MB requested) — fall back to the windowed kernel
+        # for big f32 canvases (bf16, the serving dtype, is unaffected)
+        canvas_fits = (x.dtype == jnp.bfloat16
+                       or h * w * c * x.dtype.itemsize <= 4 * 1024 * 1024)
+        use_canvas = (fuse_attn and c <= canvas_maxc and canvas_fits
                       and _os.environ.get("LC2IS_SWIN_CANVAS", "1") != "0")
         if use_canvas:
             from lc2is_tpu.ops.swin_canvas import swin_canvas_block
@@ -292,15 +307,20 @@ class SwinBlock(nn.Module):
             # 512²/b16 (66.3 vs 64.0 ms; the ~0.2 ms of saved canvas HBM
             # traffic doesn't pay for the serialized VPU gelu + f32 canvas
             # VMEM pressure) — opt-in for experimentation only.
-            merge_mlp = _os.environ.get("LC2IS_SWIN_CANVAS_MLP") == "1"
+            merge_mlp = (_os.environ.get("LC2IS_SWIN_CANVAS_MLP") == "1"
+                         and not drop_active)
             yc = swin_canvas_block(
                 x.reshape(b, h, w, c), ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
                 self.num_heads, win, shift, interpret=pallas_interpret(),
-                mlp=(ln_w2, ln_b2, w1, b1, w2, b2) if merge_mlp else None)
+                mlp=(ln_w2, ln_b2, w1, b1, w2, b2) if merge_mlp else None,
+                residual=not drop_active)
             if merge_mlp:
                 return yc.reshape(b, p, c)
-            x = yc.reshape(b, p, c)
-            if self.quant:
+            if drop_active:
+                x = x + self._drop_path(yc.reshape(b, p, c), deterministic)
+            else:
+                x = yc.reshape(b, p, c)
+            if self.quant and not drop_active:  # int8 is serving-only
                 from lc2is_tpu.ops.quant import fused_mlp_q
 
                 return fused_mlp_q(x, ln_w2, ln_b2, w1, b1, w2, b2,
@@ -308,8 +328,10 @@ class SwinBlock(nn.Module):
                                    interpret=pallas_interpret())
             from lc2is_tpu.ops.fused_mlp import fused_mlp
 
-            return fused_mlp(x, ln_w2, ln_b2, w1, b1, w2, b2, activation="gelu",
-                             ln_position="pre", interpret=pallas_interpret())
+            y = fused_mlp(x, ln_w2, ln_b2, w1, b1, w2, b2, activation="gelu",
+                          ln_position="pre", residual=not drop_active,
+                          interpret=pallas_interpret())
+            return x + self._drop_path(y, deterministic) if drop_active else y
 
         shortcut = x
         if not fuse_attn:
@@ -339,7 +361,8 @@ class SwinBlock(nn.Module):
             pads = pad_labels(b, h, w, hp, wp, win, shift)
             aw = fused_window_block(
                 xw, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, regions,
-                self.num_heads, residual=True, interpret=pallas_interpret(),
+                self.num_heads, residual=not drop_active,
+                interpret=pallas_interpret(),
                 pad_mask=pads, quant=self.quant,
             )
         else:
@@ -350,15 +373,15 @@ class SwinBlock(nn.Module):
         if pad_h or pad_w:
             x = x[:, :h, :w, :]
         x = x.reshape(b, p, c)
-        if not fuse_attn:
+        if not fuse_attn or drop_active:
             x = shortcut + self._drop_path(x, deterministic)
 
-        if pallas_enabled(self.attn_impl) and (deterministic or self.drop_path == 0.0):
+        if pallas_enabled(self.attn_impl):
             ln_w, ln_b = self.layernorm_after(x, return_params=True)
             w1, b1 = self.intermediate(x, return_params=True)
             ff_dim = int(self.dim * self.mlp_ratio)
             w2, b2 = self.output(jax.ShapeDtypeStruct((ff_dim,), x.dtype), return_params=True)
-            if self.quant:
+            if self.quant and not drop_active:  # int8 is serving-only
                 from lc2is_tpu.ops.quant import fused_mlp_q
 
                 return fused_mlp_q(x, ln_w, ln_b, w1, b1, w2, b2,
@@ -366,8 +389,10 @@ class SwinBlock(nn.Module):
                                    interpret=pallas_interpret())
             from lc2is_tpu.ops.fused_mlp import fused_mlp
 
-            return fused_mlp(x, ln_w, ln_b, w1, b1, w2, b2, activation="gelu",
-                             ln_position="pre", interpret=pallas_interpret())
+            y = fused_mlp(x, ln_w, ln_b, w1, b1, w2, b2, activation="gelu",
+                          ln_position="pre", residual=not drop_active,
+                          interpret=pallas_interpret())
+            return x + self._drop_path(y, deterministic) if drop_active else y
         y = self.output(self.intermediate(self.layernorm_after(x)))
         return x + self._drop_path(y, deterministic)
 

@@ -63,7 +63,9 @@ def _kernel(x_ref, k_ref, v_ref, wq_ref, bq_ref, wo_ref, bo_ref, lnw_ref, lnb_re
         logits = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (T, L)
+        )  # (T, L)
+        if scale != 1.0:  # 1.0 when the caller folded 1/√dh into wq/bq
+            logits = logits * scale
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         # per-row reciprocal, not a (T, L) elementwise divide
@@ -149,14 +151,22 @@ def _fwd_impl(x, k, v, wq, bq, wo, bo, ln_w, ln_b, num_heads, eps, post_ln,
     b, p, c = x.shape
     l = k.shape[1]
     dh = c // num_heads
-    scale = 1.0 / np.sqrt(dh)
     wdt = x.dtype
+    # fold 1/√dh into the q projection (weights AND bias): kills one
+    # (T, L) f32 multiply per head per grid step in the kernel
+    scl = jnp.asarray(1.0 / np.sqrt(dh), jnp.float32)
+    wq = (wq.astype(jnp.float32) * scl).astype(wq.dtype)
+    bq = (bq.astype(jnp.float32) * scl).astype(bq.dtype)
+    scale = 1.0
 
     if block_q is None:
+        import os as _os
+
         # logits (T, L) f32 + x/q/attn/out blocks; ~8 MB activations (VMEM
-        # cap raised explicitly below — v5e has 128 MB)
+        # cap raised explicitly below — v5e has 128 MB); sweepable budget
+        budget_mb = int(_os.environ.get("LC2IS_ATTNBLOCK_MB", "8"))
         per_tok = l * 4 + 5 * c * x.dtype.itemsize
-        bt = max(128, min(1024, (8 * 1024 * 1024) // per_tok))
+        bt = max(128, min(1024, (budget_mb * 1024 * 1024) // per_tok))
         bt = (bt // 128) * 128
     else:
         bt = block_q

@@ -65,10 +65,13 @@ def _gelu_poly_f32(x):
     polynomial in t² — erf alone is not), exact-x tail above 4.  Max abs
     error vs erf-gelu: 4.1e-4 — far below bf16 resolution (~3e-3 relative),
     and ~5 VPU ops cheaper than the rational-erf form, with no divide
-    (stage-3 swin blocks are VPU-bound).  Opt-in via LC2IS_FAST_GELU=1 so
-    the default path keeps the 2e-5 torch/HF goldens bit-tight; a higher-
-    degree fit cannot close the gap (f32 Horner rounding floors at ~1e-4
-    for wider clip ranges — measured), so this stays a serving knob."""
+    (stage-3 swin blocks are VPU-bound).  Default policy is AUTO: poly when
+    the kernel's compute dtype is bf16 (the error is under bf16's own
+    rounding, so the bf16 path is numerically indistinguishable — measured
+    2.2 ms off the swin forward), exact erf for f32 so the 2e-5 torch/HF
+    goldens stay bit-tight.  LC2IS_FAST_GELU=1/0 forces poly/exact.  A
+    higher-degree fit cannot close the 4e-4 gap (f32 Horner rounding floors
+    at ~1e-4 for wider clip ranges — measured)."""
     t = jnp.clip(x, -4.0, 4.0)
     u = t * t
     p = jnp.float32(-1.5484756e-09)
@@ -83,13 +86,14 @@ def _gelu_poly_f32(x):
     return jnp.where(x > 4.0, x, y)
 
 
-def _act_fn(name: str):
+def _act_fn(name: str, dtype=None):
     if name == "relu":
         return lambda x: jnp.maximum(x, 0.0)
     if name == "gelu":  # exact (erf) — torch / HF-swin default
         import os
 
-        if os.environ.get("LC2IS_FAST_GELU") == "1":
+        mode = os.environ.get("LC2IS_FAST_GELU", "auto")
+        if mode == "1" or (mode != "0" and dtype == jnp.bfloat16):
             return _gelu_poly_f32
         return _gelu_exact_f32
     if name == "gelu_tanh":
@@ -112,7 +116,7 @@ def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
     x = x_ref[...]  # (T, C)
     lnw = lnw_ref[...].astype(jnp.float32)  # (1, C)
     lnb = lnb_ref[...].astype(jnp.float32)
-    act_f = _act_fn(act)
+    act_f = _act_fn(act, x.dtype)
 
     def ff(h):  # h: (T, C) in compute dtype
         upre = jax.lax.dot_general(
@@ -141,7 +145,7 @@ def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
 
 def _xla_reference(x, ln_w, ln_b, w1, b1, w2, b2, *, act, pre, residual, eps):
     """Differentiable reference — mirrors nn/layers.py module composition."""
-    act_f = _act_fn(act)
+    act_f = _act_fn(act, x.dtype)
 
     def ln(v):
         vf = v.astype(jnp.float32)
@@ -203,7 +207,7 @@ def _vjp_bwd(act, pre, residual, eps, block_tokens, interpret, res, g):
     x2 = x.reshape(-1, c)
     g2 = g.reshape(-1, c).astype(jnp.float32)
     upf = upre.astype(jnp.float32)
-    u = _act_fn(act)(upf).astype(dt)
+    u = _act_fn(act, dt)(upf).astype(dt)  # same fwd act choice (poly/exact)
     lnw_f = ln_w.astype(jnp.float32)
 
     def ln_bwd(dy, sf):
@@ -266,10 +270,14 @@ def _fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, *, act, pre, residual, eps,
     w1c, w2c = w1.astype(wdt), w2.astype(wdt)
 
     if block_tokens is None:
+        import os as _os
+
         # VMEM: x/out (T,C)·2 double-buffered + intermediate (T,F) f32 +
         # weights 2·C·F — keep the activation working set near ~4 MB
+        # (sweepable via LC2IS_MLP_MB for perf probes)
+        budget_mb = int(_os.environ.get("LC2IS_MLP_MB", "4"))
         bytes_per_token = 2 * c * x.dtype.itemsize * 2 + f * 4
-        bt = max(128, min(2048, (4 * 1024 * 1024) // max(bytes_per_token, 1)))
+        bt = max(128, min(2048, (budget_mb * 1024 * 1024) // max(bytes_per_token, 1)))
         bt = (bt // 128) * 128
     else:
         bt = block_tokens

@@ -74,7 +74,7 @@ def _mlp_q_kernel(x_ref, lnw_ref, lnb_ref, w1q_ref, w1s_ref, b1_ref,
     x = x_ref[...]
     lnw = lnw_ref[...].astype(jnp.float32)
     lnb = lnb_ref[...].astype(jnp.float32)
-    act_f = _act_fn(act)
+    act_f = _act_fn(act, x.dtype)
 
     def ff(h):  # h (T, C) f32 → (T, C) f32
         upre = qdot(h, w1q_ref[...], w1s_ref[...]) + b1_ref[...].astype(jnp.float32)

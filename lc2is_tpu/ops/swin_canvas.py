@@ -109,33 +109,37 @@ def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp):
 def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                    wo_ref, bo_ref, bias_ref, *rest,
                    num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
-                   ns, nw, wc, with_mlp=False):
-    """One image per grid step: LN+QKV once over the canvas, per-strip
-    window layout in VMEM, batched attention over all ns·nw windows.
-    With ``with_mlp`` the block's LN2+W1+gelu+W2+residual runs in the same
-    kernel on the attention-output canvas — the MLP half's two extra canvas
-    traversals through HBM disappear (stages 1-2 are layout/traffic-bound)."""
+                   ns, nw, wc, with_mlp=False, residual=True):
+    """``ipg`` images per grid step (x_ref.shape[0]): LN+QKV once over the
+    canvases, per-strip window layout in VMEM, attention batched over ALL
+    ipg·ns·nw windows — small canvases (stages 3-4) batch several images to
+    keep the matmul M-dims MXU-sized; big canvases (stage 1) run one at a
+    time for VMEM.  With ``with_mlp`` the block's LN2+W1+gelu+W2+residual
+    runs in the same kernel on the attention-output canvas — the MLP half's
+    two extra canvas traversals through HBM disappear (stages 1-2 are
+    layout/traffic-bound)."""
     if with_mlp:
         ln2w_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref = rest
     else:
         (o_ref,) = rest
     hb_rows = ns * win
+    ipg = x_ref.shape[0]
     c = x_ref.shape[-1]
     dh = c // num_heads
-    X = x_ref[0].astype(jnp.float32)  # (Hb, W, C); rows >= H are garbage
+    X4 = x_ref[...].astype(jnp.float32)  # (ipg, Hb, W, C); rows >= H garbage
 
     # ---- whole-canvas LN + HF pad-after-LN zeroing (canvas-global mask) ----
-    x2 = X.reshape(hb_rows * W, c)
+    x2 = X4.reshape(ipg * hb_rows * W, c)
     mean = x2.mean(axis=-1, keepdims=True)
     var = ((x2 - mean) ** 2).mean(axis=-1, keepdims=True)
     hn = (x2 - mean) * jax.lax.rsqrt(var + eps)
     hn = hn * lnw_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
-    h3 = hn.reshape(hb_rows, W, c)
+    h4 = hn.reshape(ipg, hb_rows, W, c)
     rr = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, W), 0)
     # where (not multiply): kills NaN from uninitialised out-of-bounds rows.
     # The unsqueeze happens on the int32 (bool minor-dim inserts are
     # unsupported on TPU); the comparison then yields a 3-D i1 directly.
-    h3 = jnp.where(rr[:, :, None] >= H, 0.0, h3)
+    h4 = jnp.where(rr[None, :, :, None] >= H, 0.0, h4)
     # (cols beyond W do not exist in the block; the strip transform pads
     # them with zeros, which is exactly the HF zero-pad value)
 
@@ -165,17 +169,23 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         cat = jnp.moveaxis(cat, 2, 0)                      # (ns, nw, 8, 8, C) major permute
         return cat.reshape(ns * nw, PW * PW, c)            # t = c_in·8 + r_in
 
-    hw = transform(h3)  # (ns·nw, 64, C) f32 post-LN tokens
+    if ipg == 1:
+        hw = transform(h4[0])  # (ns·nw, 64, C) f32 post-LN tokens
+    else:
+        hw = jnp.concatenate([transform(h4[i]) for i in range(ipg)], axis=0)
 
-    lab, zero = _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp)
+    lab1, zero1 = _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp)
+    lab = jnp.tile(lab1, (ipg, 1))
+    zero = jnp.tile(zero1, (ipg, 1))
     hw = jnp.where(zero[:, :, None] != 0, 0.0, hw)
 
-    # ---- packed QKV: one matmul over all tokens ----
-    hb2 = hw.astype(o_ref.dtype).reshape(ns * nw * PW * PW, c)
+    # ---- packed QKV: one matmul over all tokens of all ipg images ----
+    nwin = ipg * ns * nw
+    hb2 = hw.astype(o_ref.dtype).reshape(nwin * PW * PW, c)
     qkv2 = jax.lax.dot_general(hb2, wqkv_ref[...], (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     qkv2 = qkv2 + bqkv_ref[...].astype(jnp.float32)
-    qkv = qkv2.astype(o_ref.dtype).reshape(ns * nw, PW * PW, 3 * c)
+    qkv = qkv2.astype(o_ref.dtype).reshape(nwin, PW * PW, 3 * c)
 
     # ---- batched per-head window attention with label masking ----
     masked = (lab[:, :, None] != lab[:, None, :]) | (lab[:, None, :] == -1)
@@ -186,7 +196,9 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         vh = qkv[:, :, 2 * c + hd * dh: 2 * c + (hd + 1) * dh]
         logits = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                      preferred_element_type=jnp.float32)
-        logits = logits * scale + bias_ref[hd][None]
+        if scale != 1.0:  # 1.0 when the caller folded 1/√dh into wq/bq
+            logits = logits * scale
+        logits = logits + bias_ref[hd][None]
         logits = jnp.where(masked, NEG, logits)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
@@ -197,27 +209,34 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
             preferred_element_type=jnp.float32).astype(o_ref.dtype))
     attn = jnp.concatenate(outs, axis=-1)  # (ns·nw, 64, C)
 
-    proj = jax.lax.dot_general(attn.reshape(ns * nw * PW * PW, c), wo_ref[...],
+    proj = jax.lax.dot_general(attn.reshape(nwin * PW * PW, c), wo_ref[...],
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    proj = (proj + bo_ref[...].astype(jnp.float32)).reshape(ns * nw, PW * PW, c)
+    proj = (proj + bo_ref[...].astype(jnp.float32)).reshape(nwin, PW * PW, c)
 
-    # ---- inverse layout (residual added in canvas space) ----
-    y = jnp.moveaxis(proj.reshape(ns, nw, PW, PW, c), 0, 2)  # (nw, 8, ns, 8, C)
-    y = y[:, :win].reshape(wc, ns * PW, c)
-    y = jnp.swapaxes(y, 0, 1)                                # (ns·8, Wc, C)
-    y = y.reshape(ns, PW, wc, c)[:, :win].reshape(ns * win, wc, c)
-    if o:
-        # undo the offset-window shift: canvas (row, col) lives at strip
-        # position (row + o, col + o)
-        y = y[:, o:]
-        y = jnp.concatenate(
-            [y[o:], jnp.zeros((o, y.shape[1], c), jnp.float32)], axis=0)
-    y = y[:, :W]
-    s = y + X  # (hb_rows, W, C) f32; rows >= H are garbage (cropped outside)
+    # ---- inverse layout per image (residual added in canvas space) ----
+    def inverse(proj_i):
+        y = jnp.moveaxis(proj_i.reshape(ns, nw, PW, PW, c), 0, 2)  # (nw, 8, ns, 8, C)
+        y = y[:, :win].reshape(wc, ns * PW, c)
+        y = jnp.swapaxes(y, 0, 1)                                # (ns·8, Wc, C)
+        y = y.reshape(ns, PW, wc, c)[:, :win].reshape(ns * win, wc, c)
+        if o:
+            # undo the offset-window shift: canvas (row, col) lives at strip
+            # position (row + o, col + o)
+            y = y[:, o:]
+            y = jnp.concatenate(
+                [y[o:], jnp.zeros((o, y.shape[1], c), jnp.float32)], axis=0)
+        return y[:, :W]
+
+    npi = ns * nw  # windows per image
+    ss = [inverse(proj[i * npi:(i + 1) * npi]) + (X4[i] if residual else 0.0)
+          for i in range(ipg)]
     if not with_mlp:
-        o_ref[0] = s.astype(o_ref.dtype)
+        for i in range(ipg):
+            o_ref[i] = ss[i].astype(o_ref.dtype)
         return
+    s = ss[0] if ipg == 1 else jnp.concatenate(
+        [t[None] for t in ss], axis=0).reshape(ipg * hb_rows, W, c)
 
     # ---- fused MLP half: out = s + W2·gelu(W1·LN2(s)) ----
     from lc2is_tpu.ops.fused_mlp import _act_fn
@@ -228,44 +247,64 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     # VMEM; row slicing is on the major dim (free), the (rows·W, C) merge is
     # legal because W is a sublane multiple
     rows_per = 4 * win
-    r0 = 0
-    while r0 < hb_rows:
-        r1 = min(r0 + rows_per, hb_rows)
-        chunk = s[r0:r1].reshape((r1 - r0) * W, c)
-        mean = chunk.mean(axis=-1, keepdims=True)
-        var = ((chunk - mean) ** 2).mean(axis=-1, keepdims=True)
-        hh = ((chunk - mean) * jax.lax.rsqrt(var + eps) * ln2w + ln2b)
-        hh = hh.astype(o_ref.dtype)
-        u = jax.lax.dot_general(hh, w1_ref[...], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        u = u + b1_ref[...].astype(jnp.float32)
-        u = _act_fn("gelu")(u)
-        u = u.astype(o_ref.dtype)
-        y2 = jax.lax.dot_general(u, w2_ref[...], (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        y2 = y2 + b2_ref[...].astype(jnp.float32)
-        o_ref[0, r0:r1] = (chunk + y2).reshape(r1 - r0, W, c).astype(o_ref.dtype)
-        r0 = r1
+    for i in range(ipg):
+        si = s[i * hb_rows:(i + 1) * hb_rows]
+        r0 = 0
+        while r0 < hb_rows:
+            r1 = min(r0 + rows_per, hb_rows)
+            chunk = si[r0:r1].reshape((r1 - r0) * W, c)
+            mean = chunk.mean(axis=-1, keepdims=True)
+            var = ((chunk - mean) ** 2).mean(axis=-1, keepdims=True)
+            hh = ((chunk - mean) * jax.lax.rsqrt(var + eps) * ln2w + ln2b)
+            hh = hh.astype(o_ref.dtype)
+            u = jax.lax.dot_general(hh, w1_ref[...], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            u = u + b1_ref[...].astype(jnp.float32)
+            u = _act_fn("gelu", o_ref.dtype)(u)
+            u = u.astype(o_ref.dtype)
+            y2 = jax.lax.dot_general(u, w2_ref[...], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            y2 = y2 + b2_ref[...].astype(jnp.float32)
+            o_ref[i, r0:r1] = (chunk + y2).reshape(r1 - r0, W, c).astype(o_ref.dtype)
+            r0 = r1
 
 
 def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
-                     win, shift, eps, interpret, mlp=None):
+                     win, shift, eps, interpret, mlp=None, residual=True):
     b, h, w, c = x.shape
     o, hp, wp, ns, nw = _geom(h, w, win, shift)
     wc = nw * win
     dh = c // num_heads
-    scale = 1.0 / np.sqrt(dh)
     wdt = x.dtype
+    # fold 1/√dh into the q projection (weights AND bias): kills one
+    # (nW, 64, 64) f32 multiply per head per image in the kernel
+    scl = jnp.asarray(1.0 / np.sqrt(dh), jnp.float32)
+    wqkv = jnp.concatenate([wqkv[:c].astype(jnp.float32) * scl,
+                            wqkv[c:].astype(jnp.float32)]).astype(wqkv.dtype)
+    bqkv = jnp.concatenate([bqkv[:c].astype(jnp.float32) * scl,
+                            bqkv[c:].astype(jnp.float32)]).astype(bqkv.dtype)
+    scale = 1.0
     bias_p = permute_bias(bias, win)
 
     kw = dict(num_heads=num_heads, scale=scale, eps=eps, win=win,
               shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc,
-              with_mlp=mlp is not None)
+              with_mlp=mlp is not None, residual=residual)
     const2 = lambda bb: (0, 0)
     hb_rows = ns * win
 
+    # images per grid step: small canvases (stages 3-4) batch several images
+    # so the QKV/attention matmul M-dims stay MXU-sized; the budget bounds
+    # the kernel's ~10 f32 canvas-sized intermediates.  Must divide b.
+    import os as _os
+
+    budget = int(_os.environ.get("LC2IS_CANVAS_IPG_MB", "48")) * 1024 * 1024
+    per_img = 10 * hb_rows * max(wc, w) * c * 4
+    ipg = max(1, min(b, budget // max(per_img, 1)))
+    while b % ipg:
+        ipg -= 1
+
     in_specs = [
-        pl.BlockSpec((1, hb_rows, w, c), lambda bb: (bb, 0, 0, 0)),
+        pl.BlockSpec((ipg, hb_rows, w, c), lambda bb: (bb, 0, 0, 0)),
         pl.BlockSpec((1, c), const2),
         pl.BlockSpec((1, c), const2),
         pl.BlockSpec((3 * c, c), const2),
@@ -294,9 +333,9 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
 
     out = pl.pallas_call(
         functools.partial(_canvas_kernel, **kw),
-        grid=(b,),
+        grid=(b // ipg,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hb_rows, w, c), lambda bb: (bb, 0, 0, 0)),
+        out_specs=pl.BlockSpec((ipg, hb_rows, w, c), lambda bb: (bb, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hb_rows, w, c), wdt),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
@@ -329,7 +368,8 @@ def _xla_canvas_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
 
 
 def _pallas_windowed_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                               num_heads, win, shift, eps, interpret):
+                               num_heads, win, shift, eps, interpret,
+                               residual=True):
     """Same HF semantics as ``_xla_canvas_reference`` but through
     ``fused_window_block`` — whose custom VJP is a Pallas in-VMEM backward.
     Differentiating THIS in ``_canvas_bwd`` makes the canvas block's training
@@ -350,7 +390,7 @@ def _pallas_windowed_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
     regions = region_labels(b, hp, wp, win, shift) if shift else None
     pads = pad_labels(b, h, w, hp, wp, win, shift)
     yw = fused_window_block(xw, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, regions,
-                            num_heads, eps=eps, residual=True,
+                            num_heads, eps=eps, residual=residual,
                             interpret=interpret, pad_mask=pads)
     y = window_reverse(yw, win, hp, wp)
     if shift:
@@ -358,21 +398,22 @@ def _pallas_windowed_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
     return y[:, :h, :w]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _canvas_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                num_heads, win, shift, eps, interpret):
+                num_heads, win, shift, eps, interpret, residual=True):
     return _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                            num_heads, win, shift, eps, interpret)
+                            num_heads, win, shift, eps, interpret,
+                            residual=residual)
 
 
 def _canvas_fwd(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                num_heads, win, shift, eps, interpret):
+                num_heads, win, shift, eps, interpret, residual=True):
     out = _canvas_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                      num_heads, win, shift, eps, interpret)
+                      num_heads, win, shift, eps, interpret, residual)
     return out, (x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias)
 
 
-def _canvas_bwd(num_heads, win, shift, eps, interpret, res, g):
+def _canvas_bwd(num_heads, win, shift, eps, interpret, residual, res, g):
     """Windowed-layout reconstruction + the fused block's Pallas backward
     (see _pallas_windowed_reference) — training cost matches the windowed
     fused path instead of the unfused XLA recompute."""
@@ -380,7 +421,7 @@ def _canvas_bwd(num_heads, win, shift, eps, interpret, res, g):
     _, vjp = jax.vjp(
         lambda x_, lw, lb, wq, bq, wo_, bo_, bi: _pallas_windowed_reference(
             x_, lw, lb, wq, bq, wo_, bo_, bi, num_heads, win, shift, eps,
-            interpret),
+            interpret, residual=residual),
         x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias)
     return vjp(g)
 
@@ -451,11 +492,13 @@ def swin_canvas_block(
     eps: float = 1e-5,
     interpret: bool = False,
     mlp: Optional[tuple] = None,  # (ln2_w, ln2_b, w1, b1, w2, b2) → merged MLP
+    residual: bool = True,  # False → branch-only output (drop-path training)
 ) -> jnp.ndarray:
-    """out = x + proj(window_attn(qkv(LN(x)))) straight on the canvas;
+    """out = [x +] proj(window_attn(qkv(LN(x)))) straight on the canvas;
     with ``mlp`` the full swin block (attention + FF halves) in one kernel."""
     if mlp is not None:
+        assert residual, "merged-MLP canvas path has no branch-only output"
         return _canvas_mlp_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, *mlp,
                                num_heads, win, shift, eps, interpret)
     return _canvas_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                       num_heads, win, shift, eps, interpret)
+                       num_heads, win, shift, eps, interpret, residual)

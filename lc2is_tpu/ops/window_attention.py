@@ -30,12 +30,14 @@ from jax.experimental import pallas as pl
 NEG = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, reg_ref, bias_ref, o_ref, *, num_heads, scale):
+def _kernel(q_ref, k_ref, v_ref, reg_ref, bias_ref, o_ref, *, num_heads, scale,
+            masked=True):
     g, p, c = q_ref.shape
     dh = c // num_heads
-    reg = reg_ref[...]  # (G, p) int32
-    # (G, p, p) True where query/key tokens belong to different shift regions
-    neq = reg[:, :, None] != reg[:, None, :]
+    if masked:
+        reg = reg_ref[...]  # (G, p) int32
+        # (G, p, p) True where query/key tokens are in different shift regions
+        neq = reg[:, :, None] != reg[:, None, :]
 
     for h in range(num_heads):
         sl = slice(h * dh, (h + 1) * dh)
@@ -46,7 +48,8 @@ def _kernel(q_ref, k_ref, v_ref, reg_ref, bias_ref, o_ref, *, num_heads, scale):
             qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (G, p, p)
         logits = logits * scale + bias_ref[h][None]
-        logits = jnp.where(neq, NEG, logits)
+        if masked:
+            logits = jnp.where(neq, NEG, logits)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         # one divide per ROW (Mosaic lowers elementwise `/` literally; the
@@ -140,6 +143,7 @@ def _window_attention_fwd_impl(
     n, p, c = q.shape
     dh = c // num_heads
     scale = 1.0 / np.sqrt(dh)
+    masked = regions is not None
 
     if block_windows is not None:
         g = min(block_windows, n)
@@ -164,7 +168,8 @@ def _window_attention_fwd_impl(
         regions = jnp.pad(regions, ((0, n_pad - regions.shape[0]), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads, scale=scale),
+        functools.partial(_kernel, num_heads=num_heads, scale=scale,
+                          masked=masked),
         grid=(n_pad // g,),
         in_specs=[
             pl.BlockSpec((g, p, c), lambda i: (i, 0, 0)),
@@ -249,7 +254,8 @@ def _ln_f32(x, w, b, eps):
 
 def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                   reg_ref, pad_ref, bias_ref, *rest,
-                  num_heads, scale, eps, residual, quant=False):
+                  num_heads, scale, eps, residual, quant=False,
+                  masked=True, padded=True):
     if quant:
         # int8 weights ride in wqkv_ref/wo_ref; their per-channel scales are
         # two extra refs (ops/quant.py scheme; serving-only)
@@ -269,7 +275,11 @@ def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     # the pad tokens must be re-zeroed here — LN(0)=ln_bias otherwise.
     # (unsqueeze on the int32 (g, p) mask — a (g·p, 1) reshape is a
     # minor-dim insert Mosaic cannot lower)
-    h = jnp.where(pad_ref[...][:, :, None] != 0, 0.0, h.reshape(g, p, c)).reshape(g * p, c)
+    # ``masked``/``padded`` are TRACE-TIME flags: non-shifted blocks (half of
+    # every stage) skip the region compare+select entirely, and unpadded
+    # canvases (e.g. 448² where 112 % 7 == 0) skip the pad re-zeroing.
+    if padded:
+        h = jnp.where(pad_ref[...][:, :, None] != 0, 0.0, h.reshape(g, p, c)).reshape(g * p, c)
     if quant:
         from lc2is_tpu.ops.quant import qdot
 
@@ -281,8 +291,9 @@ def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         ) + bqkv_ref[...].astype(jnp.float32)  # (g·p, 3C)
     qkv = qkv2.astype(x.dtype).reshape(g, p, 3 * c)
 
-    reg = reg_ref[...]
-    neq = reg[:, :, None] != reg[:, None, :]
+    if masked:
+        reg = reg_ref[...]
+        neq = reg[:, :, None] != reg[:, None, :]
 
     for hd in range(num_heads):
         sl = slice(hd * dh, (hd + 1) * dh)
@@ -292,8 +303,11 @@ def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         logits = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        logits = logits * scale + bias_ref[hd][None]
-        logits = jnp.where(neq, NEG, logits)
+        if scale != 1.0:  # 1.0 when the caller folded 1/√dh into wq/bq
+            logits = logits * scale
+        logits = logits + bias_ref[hd][None]
+        if masked:
+            logits = jnp.where(neq, NEG, logits)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         probs = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
@@ -385,8 +399,17 @@ def _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad_mask,
                           quant=False):
     n, p, c = x.shape
     dh = c // num_heads
-    scale = 1.0 / np.sqrt(dh)
     wdt = x.dtype
+    masked = regions is not None
+    padded = pad_mask is not None
+    # fold 1/√dh into the q projection (weights AND bias): kills one
+    # (g, p, p) f32 multiply per head per grid step in the kernel
+    scl = jnp.asarray(1.0 / np.sqrt(dh), jnp.float32)
+    wqkv = jnp.concatenate([wqkv[:c].astype(jnp.float32) * scl,
+                            wqkv[c:].astype(jnp.float32)]).astype(wqkv.dtype)
+    bqkv = jnp.concatenate([bqkv[:c].astype(jnp.float32) * scl,
+                            bqkv[c:].astype(jnp.float32)]).astype(bqkv.dtype)
+    scale = 1.0
 
     # pad the window token dim to a 16-aligned p so the kernel's
     # (g, p, C) <-> (g·p, C) views are legal sublane merges; padded KEYS are
@@ -456,7 +479,8 @@ def _fused_block_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad_mask,
 
     out = pl.pallas_call(
         functools.partial(_block_kernel, num_heads=num_heads, scale=scale,
-                          eps=eps, residual=residual, quant=quant),
+                          eps=eps, residual=residual, quant=quant,
+                          masked=masked, padded=padded),
         grid=(n_pad // g,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),
@@ -529,7 +553,8 @@ def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
                       reg_ref, pad_ref, bias_ref, g_ref,
                       dx_ref, dlnw_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                       dwo_ref, dbo_ref, dbias_ref,
-                      *, num_heads, scale, eps, residual):
+                      *, num_heads, scale, eps, residual,
+                      masked=True, padded=True):
     i = pl.program_id(0)
     g_, p, c = x_ref.shape
     dh = c // num_heads
@@ -552,18 +577,22 @@ def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
 
     # ---- recompute forward ----
     xf = x2.astype(jnp.float32)
-    # (g_, p, 1) int32-unsqueeze mask — a (rows, 1) reshape is a minor-dim
-    # insert Mosaic cannot lower
-    padm = pad_ref[...][:, :, None] != 0
-    _mask_pad = lambda t: jnp.where(padm, 0.0,
-                                    t.reshape(g_, p, c)).reshape(rows, c)
+    if padded:
+        # (g_, p, 1) int32-unsqueeze mask — a (rows, 1) reshape is a minor-dim
+        # insert Mosaic cannot lower
+        padm = pad_ref[...][:, :, None] != 0
+        _mask_pad = lambda t: jnp.where(padm, 0.0,
+                                        t.reshape(g_, p, c)).reshape(rows, c)
+    else:
+        _mask_pad = lambda t: t
     h = _mask_pad(_ln_f32(x2, lnw, lnb, eps)).astype(x.dtype)
     qkv2 = jax.lax.dot_general(h, wqkv_ref[...], (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     qkv2 = qkv2 + bqkv_ref[...].astype(jnp.float32)
     qkv = qkv2.astype(x.dtype).reshape(g_, p, 3 * c)
-    reg = reg_ref[...]
-    neq = reg[:, :, None] != reg[:, None, :]
+    if masked:
+        reg = reg_ref[...]
+        neq = reg[:, :, None] != reg[:, None, :]
 
     gout = g_ref[...].reshape(rows, c).astype(jnp.float32)
 
@@ -583,7 +612,8 @@ def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
         logits = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                      preferred_element_type=jnp.float32)
         logits = logits * scale + bias_ref[hd][None]
-        logits = jnp.where(neq, NEG, logits)
+        if masked:
+            logits = jnp.where(neq, NEG, logits)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         probs = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))  # (g, p, p) f32
@@ -647,6 +677,8 @@ def _fused_block_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad_mask
     dh = c // num_heads
     scale = 1.0 / np.sqrt(dh)
     wdt = x.dtype
+    masked = regions is not None
+    padded = pad_mask is not None
 
     p_pad = ((p + 15) // 16) * 16
     if p_pad != p:
@@ -678,7 +710,8 @@ def _fused_block_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bo, regions, pad_mask
     const = lambda i: (0, 0)
     outs = pl.pallas_call(
         functools.partial(_block_bwd_kernel, num_heads=num_heads, scale=scale,
-                          eps=eps, residual=residual),
+                          eps=eps, residual=residual,
+                          masked=masked, padded=padded),
         grid=(n_pad // g,),
         in_specs=[
             pl.BlockSpec((g, p_pad, c), lambda i: (i, 0, 0)),

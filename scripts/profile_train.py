@@ -41,7 +41,9 @@ def main(part):
         if part == "swin_stage12":
             kw = dict(depths=(2, 2, 0, 0))
         if part == "swin_stage3":
-            kw = dict(depths=(0, 0, 18, 0), embed_dim=384, num_heads=(12,) * 4)
+            # default embed 96 → stage-3 dim 96·2² = 384, the real geometry
+            # (embed_dim=384 here would make stage 3 1536-wide, 16× the FLOPs)
+            kw = dict(depths=(0, 0, 18, 0))
         if part == "swin_stage4":
             kw = dict(depths=(0, 0, 0, 2), embed_dim=96)
         model = SwinModel(dtype=bf, **kw)

@@ -65,9 +65,10 @@ def test_fused_mlp_grad_matches_reference():
 
 
 def test_gelu_poly_matches_exact():
-    """LC2IS_FAST_GELU routes "gelu" to the division-free polynomial; pinned
-    accuracy bound 5e-4 abs vs exact erf-gelu (invisible at bf16 — the knob
-    is serving-only; default stays the 2e-5-tight rational erf)."""
+    """Fast-gelu routing policy: AUTO (default) picks the division-free
+    polynomial for bf16 compute (its 4.1e-4 error is under bf16 rounding)
+    and the 2e-5-tight rational erf for f32; LC2IS_FAST_GELU=1/0 forces
+    poly/exact regardless of dtype.  Pinned accuracy bound 5e-4 abs."""
     from lc2is_tpu.ops.fused_mlp import _act_fn, _gelu_exact_f32, _gelu_poly_f32
 
     x = jnp.asarray(np.linspace(-12.0, 12.0, 200001), jnp.float32)
@@ -79,9 +80,18 @@ def test_gelu_poly_matches_exact():
     os.environ["LC2IS_FAST_GELU"] = "1"
     try:
         assert _act_fn("gelu") is _gelu_poly_f32
+        assert _act_fn("gelu", jnp.float32) is _gelu_poly_f32
     finally:
         del os.environ["LC2IS_FAST_GELU"]
+    # auto: dtype decides
     assert _act_fn("gelu") is _gelu_exact_f32
+    assert _act_fn("gelu", jnp.float32) is _gelu_exact_f32
+    assert _act_fn("gelu", jnp.bfloat16) is _gelu_poly_f32
+    os.environ["LC2IS_FAST_GELU"] = "0"
+    try:
+        assert _act_fn("gelu", jnp.bfloat16) is _gelu_exact_f32
+    finally:
+        del os.environ["LC2IS_FAST_GELU"]
 
 
 def test_fused_mlp_fast_gelu_kernel_parity():

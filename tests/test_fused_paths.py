@@ -135,3 +135,34 @@ def test_decoder_layer_fused_asymmetric_dkv(force_pallas):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=5e-4, atol=5e-4,
                                    err_msg=jax.tree_util.keystr(pa))
+
+
+def test_swin_fused_drop_path_training_matches_xla(force_pallas):
+    """Stochastic depth must NOT force the unfused path (train-perf critical):
+    with drop_path>0 and deterministic=False the fused kernels run with
+    residual=False and the per-sample mask applies outside — same math and
+    same rng draw order as the XLA composition, so outputs AND grads match."""
+    r = np.random.RandomState(7)
+    x = jnp.asarray(r.randn(4, 3, 32, 32), jnp.float32)
+    xla = SwinModel(attn_impl="xla", drop_path_rate=0.3, **TINY_SWIN)
+    fused = SwinModel(attn_impl="auto", drop_path_rate=0.3, **TINY_SWIN)
+    params = xla.init(jax.random.PRNGKey(0), x)
+    rngs = {"dropout": jax.random.PRNGKey(42)}
+
+    a = xla.apply(params, x, deterministic=False, rngs=rngs)
+    b = fused.apply(params, x, deterministic=False, rngs=rngs)
+    for ha, hb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), rtol=2e-4, atol=2e-4)
+
+    def loss(mod, p):
+        return sum((h ** 2).sum()
+                   for h in mod.apply(p, x, deterministic=False, rngs=rngs))
+
+    ga = jax.grad(lambda p: loss(xla, p))(params)
+    gb = jax.grad(lambda p: loss(fused, p))(params)
+    flat_a = jax.tree_util.tree_leaves_with_path(ga)
+    flat_b = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(gb)}
+    for k, va in flat_a:
+        vb = flat_b[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=5e-3, atol=5e-3,
+                                   err_msg=jax.tree_util.keystr(k))
