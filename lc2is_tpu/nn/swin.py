@@ -282,9 +282,11 @@ class SwinBlock(nn.Module):
         # (image-batched canvas beats the windowed path at stage 3 — the XLA
         # 7-granular partition/reverse transposes cost ~2.4 ms standalone),
         # 768 → 29.4 (stage-4 canvas loses; 2 blocks, 9 windows/img) — hence
-        # the default gate at 384.  Drop-path steps run the canvas kernel
-        # with residual=False and apply the per-sample mask + residual add
-        # outside (same scheme as the windowed path below).
+        # the default gate at 384.  INFERENCE-ONLY: the canvas backward
+        # re-runs a full windowed forward before its Pallas backward
+        # (recompute-on-recompute; measured bench_train 56.8 → 32.0 img/s
+        # when training routed through it), so training keeps the windowed
+        # kernels whose backward recomputes once, in VMEM.
         canvas_maxc = int(_os.environ.get("LC2IS_SWIN_CANVAS_MAXC", "384"))
         # f32 compute doubles the kernel's canvas-sized VMEM intermediates;
         # a full f32 stage-1 canvas (6.3 MB) overflows the 128 MB VMEM
@@ -293,6 +295,7 @@ class SwinBlock(nn.Module):
         canvas_fits = (x.dtype == jnp.bfloat16
                        or h * w * c * x.dtype.itemsize <= 4 * 1024 * 1024)
         use_canvas = (fuse_attn and c <= canvas_maxc and canvas_fits
+                      and deterministic
                       and _os.environ.get("LC2IS_SWIN_CANVAS", "1") != "0")
         if use_canvas:
             from lc2is_tpu.ops.swin_canvas import swin_canvas_block

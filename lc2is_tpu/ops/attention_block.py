@@ -162,9 +162,10 @@ def _fwd_impl(x, k, v, wq, bq, wo, bo, ln_w, ln_b, num_heads, eps, post_ln,
     if block_q is None:
         import os as _os
 
-        # logits (T, L) f32 + x/q/attn/out blocks; ~8 MB activations (VMEM
-        # cap raised explicitly below — v5e has 128 MB); sweepable budget
-        budget_mb = int(_os.environ.get("LC2IS_ATTNBLOCK_MB", "8"))
+        # logits (T, L) f32 + x/q/attn/out blocks; VMEM cap raised explicitly
+        # below — v5e has 128 MB.  Default 16 MB measured best on the
+        # decoder at 512²/b16 (8/16/32 MB → 22.2/18.15/18.68 ms)
+        budget_mb = int(_os.environ.get("LC2IS_ATTNBLOCK_MB", "16"))
         per_tok = l * 4 + 5 * c * x.dtype.itemsize
         bt = max(128, min(1024, (budget_mb * 1024 * 1024) // per_tok))
         bt = (bt // 128) * 128

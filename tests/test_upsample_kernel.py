@@ -51,6 +51,47 @@ def test_upsample_argmax_matches_resize_argmax():
     assert (got == want).all()
 
 
+def test_score_upsample_argmax_matches_unfused_chain():
+    """The fully fused serving head (normalise + cosine scores + x4 bilinear
+    + argmax in one kernel) equals the unfused chain _score_map -> resize ->
+    argmax, including the score map's intermediate dtype rounding."""
+    import jax.numpy as jnp
+    from lc2is_tpu.models.zoo import _norm, _score_map
+    from lc2is_tpu.ops.resize import resize
+    from lc2is_tpu.ops.upsample_argmax import score_upsample_argmax
+
+    rs = np.random.RandomState(11)
+    for grid, k, c in ((16, 151, 64), (8, 7, 32)):
+        v = jnp.asarray(rs.randn(2, grid * grid, c).astype(np.float32))
+        t = jnp.asarray(rs.randn(2, k, c).astype(np.float32))
+        got = np.asarray(score_upsample_argmax(v, _norm(t, axis=2), grid,
+                                               r=4, interpret=True))
+        want = np.asarray(jnp.argmax(
+            resize(_score_map(v, t, grid), scale_factor=4, method="bilinear"),
+            axis=1))
+        assert (got == want).all(), (grid, k, c)
+
+
+def test_score_upsample_argmax_batched_matmul_branch():
+    """grid 128 takes the one-matmul-per-slab branch (w % 128 == 0) — the
+    shape served at 512²; small c/k keep interpret mode fast."""
+    import jax.numpy as jnp
+    from lc2is_tpu.models.zoo import _norm, _score_map
+    from lc2is_tpu.ops.resize import resize
+    from lc2is_tpu.ops.upsample_argmax import score_upsample_argmax
+
+    rs = np.random.RandomState(3)
+    grid, k, c = 128, 5, 16
+    v = jnp.asarray(rs.randn(1, grid * grid, c).astype(np.float32))
+    t = jnp.asarray(rs.randn(1, k, c).astype(np.float32))
+    got = np.asarray(score_upsample_argmax(v, _norm(t, axis=2), grid,
+                                           r=4, interpret=True))
+    want = np.asarray(jnp.argmax(
+        resize(_score_map(v, t, grid), scale_factor=4, method="bilinear"),
+        axis=1))
+    assert (got == want).all()
+
+
 def test_predict_masks_path(monkeypatch):
     """predict_masks=True returns int32 masks equal to argmax of the full map."""
     monkeypatch.setenv("LC2IS_PALLAS_INTERPRET", "1")
