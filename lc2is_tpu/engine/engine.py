@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from lc2is_tpu.core.mesh import batch_sharding, make_mesh, replicated
+from lc2is_tpu.core.mesh import DATA_AXIS, batch_sharding, make_mesh, replicated
 from lc2is_tpu.engine import checkpoint as ckpt
 from lc2is_tpu.engine.loggers import make_logger
 from lc2is_tpu.engine.optim import make_optimizer
@@ -287,17 +287,30 @@ class Engine:
             cm = batch_confusion(logits, labels, num_classes=num_classes)
             return losses, miou, cm, logits
 
-        bs = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
+        # batch args inherit the placement _put_batch chose (data-sharded
+        # when divisible, replicated otherwise) — a fixed `bs` in_sharding
+        # would crash on any batch not divisible by the data axis
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(rep, rep, bs, bs, rep),
+            in_shardings=(rep, rep, None, None, rep),
             out_shardings=(rep, rep, rep),
             donate_argnums=(0, 1) if donate else (),
         )
         self._eval_step = jax.jit(
-            eval_step, in_shardings=(rep, bs, bs), out_shardings=(rep, rep, rep, bs)
+            eval_step, in_shardings=(rep, None, None), out_shardings=(rep, rep, rep, None)
         )
+
+    def _put_batch(self, tree):
+        """Place a batch with the leading axis over the data mesh axis; fall
+        back to replicated when the batch doesn't divide the axis (a 2-image
+        debug batch or a partial final batch on an 8-device mesh must run,
+        not crash — an odd batch shape recompiles the step either way)."""
+        nd = self.mesh.shape[DATA_AXIS]
+        leaves = jax.tree_util.tree_leaves(tree)
+        ok = all(l.ndim > 0 and l.shape[0] % nd == 0 for l in leaves)
+        return jax.device_put(
+            tree, batch_sharding(self.mesh) if ok else replicated(self.mesh))
 
     # ------------------------------------------------------------------
     def train(self):
@@ -323,8 +336,8 @@ class Engine:
             inputs = dict(data[0]) if isinstance(data, tuple) else dict(data)
             labels = jnp.asarray(inputs.pop("label"))
             inputs = self._cast(inputs)
-            inputs = jax.device_put(inputs, batch_sharding(self.mesh))
-            labels = jax.device_put(labels, batch_sharding(self.mesh))
+            inputs = self._put_batch(inputs)
+            labels = self._put_batch(labels)
             self.rng, step_rng = jax.random.split(self.rng)
 
             self.params, self.opt_state, losses = self._train_step(
@@ -385,8 +398,8 @@ class Engine:
             metas = data[1] if isinstance(data, tuple) and len(data) > 1 else None
             labels = jnp.asarray(inputs.pop("label"))
             inputs = self._cast({k: v for k, v in inputs.items() if k != "size"})
-            inputs = jax.device_put(inputs, batch_sharding(self.mesh))
-            labels_dev = jax.device_put(labels, batch_sharding(self.mesh))
+            inputs = self._put_batch(inputs)
+            labels_dev = self._put_batch(labels)
 
             losses, miou, cm, logits = self._eval_step(self.params, inputs, labels_dev)
             b = int(labels.shape[0])

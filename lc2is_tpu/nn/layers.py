@@ -88,10 +88,17 @@ class Conv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # x: (B, H, W, C)
+        import os as _os
+
         in_channels = x.shape[-1]
         k = self.kernel_size
         w = self.param("weight", tinit.torch_conv_weight, (self.out_channels, in_channels, k, k), self.param_dtype)
-        if self.stride == k:
+        # space-to-depth materialises a (..., k, C) intermediate; for tiny C
+        # (patch embeds: C=3) the C-lane dim tile-pads to 128 — up to ~40×
+        # HBM write amplification — so small-C convs can opt back into
+        # lax.conv via LC2IS_S2D_MINC (min in_channels for space-to-depth)
+        s2d_minc = int(_os.environ.get("LC2IS_S2D_MINC", "0"))
+        if self.stride == k and in_channels >= s2d_minc:
             # every use here is stride==kernel (patch embed, SR reduce), which
             # is exactly space-to-depth + matmul: identical math, and BOTH the
             # forward and the VJP become plain MXU matmuls instead of XLA

@@ -306,19 +306,10 @@ class SwinBlock(nn.Module):
             w1, b1 = self.intermediate(x, return_params=True)
             ff_dim = int(self.dim * self.mlp_ratio)
             w2, b2 = self.output(jax.ShapeDtypeStruct((ff_dim,), x.dtype), return_params=True)
-            # merged attn+MLP canvas kernel: measured a ~2-3 ms/step LOSS at
-            # 512²/b16 (66.3 vs 64.0 ms; the ~0.2 ms of saved canvas HBM
-            # traffic doesn't pay for the serialized VPU gelu + f32 canvas
-            # VMEM pressure) — opt-in for experimentation only.
-            merge_mlp = (_os.environ.get("LC2IS_SWIN_CANVAS_MLP") == "1"
-                         and not drop_active)
             yc = swin_canvas_block(
                 x.reshape(b, h, w, c), ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
                 self.num_heads, win, shift, interpret=pallas_interpret(),
-                mlp=(ln_w2, ln_b2, w1, b1, w2, b2) if merge_mlp else None,
                 residual=not drop_active)
-            if merge_mlp:
-                return yc.reshape(b, p, c)
             if drop_active:
                 x = x + self._drop_path(yc.reshape(b, p, c), deterministic)
             else:
@@ -409,17 +400,27 @@ class SwinPatchMerging(nn.Module):
         self.norm = LayerNorm(param_dtype=self.param_dtype)
 
     def __call__(self, x, hw: Tuple[int, int]):
+        import os as _os
+
         h, w = hw
         b, p, c = x.shape
         x = x.reshape(b, h, w, c)
         if h % 2 or w % 2:
             x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
-        x0 = x[:, 0::2, 0::2, :]
-        x1 = x[:, 1::2, 0::2, :]
-        x2 = x[:, 0::2, 1::2, :]
-        x3 = x[:, 1::2, 1::2, :]
-        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = x.reshape(b, -1, 4 * c)
+        if _os.environ.get("LC2IS_MERGE_IMPL", "slice") == "reshape":
+            # same (dr + 2·dc)-ordered channel blocks as the concat below,
+            # via reshape+transpose instead of four strided slices
+            hh, ww = x.shape[1] // 2, x.shape[2] // 2
+            x = x.reshape(b, hh, 2, ww, 2, c)          # (b, H2, dr, W2, dc, c)
+            x = x.transpose(0, 1, 3, 4, 2, 5)          # (b, H2, W2, dc, dr, c)
+            x = x.reshape(b, hh * ww, 4 * c)
+        else:
+            x0 = x[:, 0::2, 0::2, :]
+            x1 = x[:, 1::2, 0::2, :]
+            x2 = x[:, 0::2, 1::2, :]
+            x3 = x[:, 1::2, 1::2, :]
+            x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+            x = x.reshape(b, -1, 4 * c)
         x = self.norm(x)
         return self.reduction(x)
 

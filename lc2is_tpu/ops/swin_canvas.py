@@ -42,7 +42,6 @@ unchanged; the canvas path accelerates the forward.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -80,19 +79,32 @@ def permute_bias(bias: jnp.ndarray, win: int) -> jnp.ndarray:
     return bias[:, idx][:, :, idx].astype(jnp.float32)
 
 
-def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp):
-    """(ns·nw, 64) region labels (-1 = void) + zero mask, canvas-global."""
-    t = jax.lax.broadcasted_iota(jnp.int32, (ns * nw, PW * PW), 1)
-    sj = jax.lax.broadcasted_iota(jnp.int32, (ns * nw, PW * PW), 0)
-    i = sj // nw
-    j = sj - i * nw
+def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp, npi, nwin, ntile, pack):
+    """(ntile, pack·64) region labels (-1 = void), built straight from iota
+    at the PACKED shape (no reshapes — Mosaic rejects lane/sublane-merging
+    vector reshapes on int32).  Token tt of tile ti is token tt%64 of global
+    window g = ti·pack + tt//64; g covers all images (labels repeat with
+    period npi = ns·nw); windows g ≥ nwin are pack-padding → void.  Each
+    pack slot offsets labels by 16·slot so cross-window pairs inside a tile
+    always mismatch (region labels are < 9).  HF-pad tokens (row ≥ H or
+    col ≥ W inside the HF Hp×Wp canvas) keep their region label: they
+    participate in attention with k/v = bqkv (the qkv of a post-LN-zero
+    token — the layout pads zeros and the bias is added after)."""
+    T = pack * PW * PW
+    tt = jax.lax.broadcasted_iota(jnp.int32, (ntile, T), 1)
+    ti = jax.lax.broadcasted_iota(jnp.int32, (ntile, T), 0)
+    slot = tt // (PW * PW)
+    t = tt - slot * (PW * PW)
+    g = ti * pack + slot
+    w = g % npi
+    i = w // nw
+    j = w - i * nw
     c_in = t // PW
     r_in = t - c_in * PW
     row = i * win - o + r_in
     col = j * win - o + c_in
     void = ((r_in >= win) | (row < 0) | (row >= Hp)
-            | (c_in >= win) | (col < 0) | (col >= Wp))
-    hfpad = (row >= H) | (col >= W)
+            | (c_in >= win) | (col < 0) | (col >= Wp) | (g >= nwin))
     if shift:
         rrow = row - shift + jnp.where(row < shift, Hp, 0)
         rcol = col - shift + jnp.where(col < shift, Wp, 0)
@@ -100,28 +112,20 @@ def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp):
         rc = (rcol >= Wp - win).astype(jnp.int32) + (rcol >= Wp - shift).astype(jnp.int32)
         lab = rh * 3 + rc
     else:
-        lab = jnp.zeros((ns * nw, PW * PW), jnp.int32)
-    lab = jnp.where(void, -1, lab)
-    zero = (void | hfpad).astype(jnp.int32)  # int32: bool unsqueeze unsupported
-    return lab, zero
+        lab = jnp.zeros((ntile, T), jnp.int32)
+    lab = lab + slot * 16
+    return jnp.where(void, -1, lab)
 
 
 def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                   wo_ref, bo_ref, bias_ref, *rest,
+                   wo_ref, bo_ref, bias_ref, o_ref,
                    num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
-                   ns, nw, wc, with_mlp=False, residual=True):
+                   ns, nw, wc, pack=1, residual=True):
     """``ipg`` images per grid step (x_ref.shape[0]): LN+QKV once over the
     canvases, per-strip window layout in VMEM, attention batched over ALL
     ipg·ns·nw windows — small canvases (stages 3-4) batch several images to
     keep the matmul M-dims MXU-sized; big canvases (stage 1) run one at a
-    time for VMEM.  With ``with_mlp`` the block's LN2+W1+gelu+W2+residual
-    runs in the same kernel on the attention-output canvas — the MLP half's
-    two extra canvas traversals through HBM disappear (stages 1-2 are
-    layout/traffic-bound)."""
-    if with_mlp:
-        ln2w_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref = rest
-    else:
-        (o_ref,) = rest
+    time for VMEM."""
     hb_rows = ns * win
     ipg = x_ref.shape[0]
     c = x_ref.shape[-1]
@@ -143,49 +147,75 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     # (cols beyond W do not exist in the block; the strip transform pads
     # them with zeros, which is exactly the HF zero-pad value)
 
-    # ---- canvas → (ns·nw, 64, C) tokens ----
+    # The QKV matmul runs on the PADDED window tokens, after the layout
+    # transform.  A compact-canvas-first variant (QKV before the layout,
+    # bias after, M = real tokens — 2.25× fewer MACs on shifted stage-3
+    # blocks) was built and measured SLOWER (swin fwd 28.7 → 34.1 ms at
+    # 512²/b16): the layout transform then shuffles a 3C-wide qkv canvas,
+    # and its VMEM copy bytes outweigh the matmul savings.  What survives
+    # from that experiment: the transform moves compute-dtype (bf16) data,
+    # not f32, and the out-projection runs compact after the inverse.
+    dt = o_ref.dtype
+    h4 = h4.astype(dt)
+
+    # ---- canvas → (ns·nw, 64, ch) tokens ----
     # Strips tile the row range [-o, ns·win − o) CONTIGUOUSLY, so the whole
     # "per-strip extraction" is one top/left zero pad of the canvas — no
     # slicing loop at all.
     def transform(canvas):
-        cat = canvas  # (hb_rows, W, C)
+        ch, dtp = canvas.shape[-1], canvas.dtype
+        cat = canvas  # (hb_rows, W, ch)
         if o:
             cat = jnp.concatenate(
-                [jnp.zeros((o, W, c), jnp.float32), cat[: hb_rows - o]], axis=0)
+                [jnp.zeros((o, W, ch), dtp), cat[: hb_rows - o]], axis=0)
         cols = [cat]
         if o:
-            cols.insert(0, jnp.zeros((hb_rows, o, c), jnp.float32))
+            cols.insert(0, jnp.zeros((hb_rows, o, ch), dtp))
         if wc - o - W:
-            cols.append(jnp.zeros((hb_rows, wc - o - W, c), jnp.float32))
-        cat = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cat  # (hb, wc, C)
-        cat = cat.reshape(ns, win, wc, c)
+            cols.append(jnp.zeros((hb_rows, wc - o - W, ch), dtp))
+        cat = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cat  # (hb, wc, ch)
+        cat = cat.reshape(ns, win, wc, ch)
         cat = jnp.concatenate(
-            [cat, jnp.zeros((ns, PW - win, wc, c), jnp.float32)], axis=1)  # pad rows
-        cat = cat.reshape(ns * PW, wc, c)
-        cat = jnp.swapaxes(cat, 0, 1)                      # (Wc, ns·8, C)
-        cat = cat.reshape(nw, win, ns, PW, c)              # split major Wc
+            [cat, jnp.zeros((ns, PW - win, wc, ch), dtp)], axis=1)  # pad rows
+        cat = cat.reshape(ns * PW, wc, ch)
+        cat = jnp.swapaxes(cat, 0, 1)                      # (Wc, ns·8, ch)
+        cat = cat.reshape(nw, win, ns, PW, ch)             # split major Wc
         cat = jnp.concatenate(
-            [cat, jnp.zeros((nw, PW - win, ns, PW, c), jnp.float32)], axis=1)
-        cat = jnp.moveaxis(cat, 2, 0)                      # (ns, nw, 8, 8, C) major permute
-        return cat.reshape(ns * nw, PW * PW, c)            # t = c_in·8 + r_in
+            [cat, jnp.zeros((nw, PW - win, ns, PW, ch), dtp)], axis=1)
+        cat = jnp.moveaxis(cat, 2, 0)                      # (ns, nw, 8, 8, ch) major permute
+        return cat.reshape(ns * nw, PW * PW, ch)           # t = c_in·8 + r_in
 
+    nwin = ipg * ns * nw
     if ipg == 1:
-        hw = transform(h4[0])  # (ns·nw, 64, C) f32 post-LN tokens
+        hw = transform(h4[0])  # (ns·nw, 64, C) post-LN tokens, compute dtype
     else:
         hw = jnp.concatenate([transform(h4[i]) for i in range(ipg)], axis=0)
 
-    lab1, zero1 = _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp)
-    lab = jnp.tile(lab1, (ipg, 1))
-    zero = jnp.tile(zero1, (ipg, 1))
-    hw = jnp.where(zero[:, :, None] != 0, 0.0, hw)
-
-    # ---- packed QKV: one matmul over all tokens of all ipg images ----
-    nwin = ipg * ns * nw
-    hb2 = hw.astype(o_ref.dtype).reshape(nwin * PW * PW, c)
-    qkv2 = jax.lax.dot_general(hb2, wqkv_ref[...], (((1,), (1,)), ((), ())),
+    # packed QKV over all padded window tokens; zero-padded slots get
+    # qkv = bqkv — exactly the qkv of HF's post-LN-zero pad tokens
+    qkv2 = jax.lax.dot_general(hw.reshape(nwin * PW * PW, c), wqkv_ref[...],
+                               (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    qkv2 = qkv2 + bqkv_ref[...].astype(jnp.float32)
-    qkv = qkv2.astype(o_ref.dtype).reshape(nwin, PW * PW, 3 * c)
+    qkv = (qkv2 + bqkv_ref[...].astype(jnp.float32)).astype(dt).reshape(
+        nwin, PW * PW, 3 * c)
+
+    # ---- window packing: `pack` windows per attention tile ----
+    # A (64, 32)·(32, 64) per-window matmul uses a quarter of the 128×128
+    # MXU tile; packing 2 consecutive windows makes every attention matmul
+    # a full (128, dh)·(dh, 128) tile at the cost of 2× logits FLOPs (the
+    # cross-window quadrants are masked; the bias is block-diagonal,
+    # prepared outside).  Win when dispatch-bound (many small windows).
+    ntok = PW * PW
+    padw = (-nwin) % pack
+    ntile = (nwin + padw) // pack
+    if pack > 1:
+        if padw:
+            qkv = jnp.concatenate(
+                [qkv, jnp.zeros((padw, ntok, 3 * c), dt)], axis=0)
+        qkv = qkv.reshape(ntile, pack, ntok, 3 * c).reshape(
+            ntile, pack * ntok, 3 * c)
+    lab = _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp,
+                      ns * nw, nwin, ntile, pack)
 
     # ---- batched per-head window attention with label masking ----
     masked = (lab[:, :, None] != lab[:, None, :]) | (lab[:, None, :] == -1)
@@ -207,16 +237,20 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         outs.append(jax.lax.dot_general(
             probs.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(o_ref.dtype))
-    attn = jnp.concatenate(outs, axis=-1)  # (ns·nw, 64, C)
+    attn = jnp.concatenate(outs, axis=-1)
+    if pack > 1:
+        # un-pair: split the tile's sublane dim back into (pack, 64), merge
+        # the two major dims, drop the pack padding
+        attn = attn.reshape(ntile, pack, ntok, c).reshape(-1, ntok, c)[:nwin]
+    # attn: (ipg·ns·nw, 64, C)
 
-    proj = jax.lax.dot_general(attn.reshape(nwin * PW * PW, c), wo_ref[...],
-                               (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    proj = (proj + bo_ref[...].astype(jnp.float32)).reshape(nwin, PW * PW, c)
-
-    # ---- inverse layout per image (residual added in canvas space) ----
-    def inverse(proj_i):
-        y = jnp.moveaxis(proj_i.reshape(ns, nw, PW, PW, c), 0, 2)  # (nw, 8, ns, 8, C)
+    # ---- inverse layout per image, THEN out-proj on the compact canvas ----
+    # The inverse is a pure token permutation/selection, so it commutes with
+    # the per-token projection — proj M drops from nwin·64 padded slots to
+    # ipg·Hb·W (the zero rows it re-introduces land at rows ≥ H, which the
+    # caller crops, so the missing +bo there is invisible).
+    def inverse(toks):
+        y = jnp.moveaxis(toks.reshape(ns, nw, PW, PW, c), 0, 2)  # (nw, 8, ns, 8, C)
         y = y[:, :win].reshape(wc, ns * PW, c)
         y = jnp.swapaxes(y, 0, 1)                                # (ns·8, Wc, C)
         y = y.reshape(ns, PW, wc, c)[:, :win].reshape(ns * win, wc, c)
@@ -225,52 +259,24 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
             # position (row + o, col + o)
             y = y[:, o:]
             y = jnp.concatenate(
-                [y[o:], jnp.zeros((o, y.shape[1], c), jnp.float32)], axis=0)
+                [y[o:], jnp.zeros((o, y.shape[1], c), y.dtype)], axis=0)
         return y[:, :W]
 
     npi = ns * nw  # windows per image
-    ss = [inverse(proj[i * npi:(i + 1) * npi]) + (X4[i] if residual else 0.0)
-          for i in range(ipg)]
-    if not with_mlp:
-        for i in range(ipg):
-            o_ref[i] = ss[i].astype(o_ref.dtype)
-        return
-    s = ss[0] if ipg == 1 else jnp.concatenate(
-        [t[None] for t in ss], axis=0).reshape(ipg * hb_rows, W, c)
-
-    # ---- fused MLP half: out = s + W2·gelu(W1·LN2(s)) ----
-    from lc2is_tpu.ops.fused_mlp import _act_fn
-
-    ln2w = ln2w_ref[...].astype(jnp.float32)
-    ln2b = ln2b_ref[...].astype(jnp.float32)
-    # chunk over strip groups: keeps the (tokens, FF) intermediate small in
-    # VMEM; row slicing is on the major dim (free), the (rows·W, C) merge is
-    # legal because W is a sublane multiple
-    rows_per = 4 * win
+    comp = (inverse(attn) if ipg == 1 else jnp.concatenate(
+        [inverse(attn[i * npi:(i + 1) * npi]) for i in range(ipg)], axis=0))
+    proj = jax.lax.dot_general(comp.reshape(ipg * hb_rows * W, c), wo_ref[...],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    proj = (proj + bo_ref[...].astype(jnp.float32)).reshape(
+        ipg, hb_rows, W, c)
     for i in range(ipg):
-        si = s[i * hb_rows:(i + 1) * hb_rows]
-        r0 = 0
-        while r0 < hb_rows:
-            r1 = min(r0 + rows_per, hb_rows)
-            chunk = si[r0:r1].reshape((r1 - r0) * W, c)
-            mean = chunk.mean(axis=-1, keepdims=True)
-            var = ((chunk - mean) ** 2).mean(axis=-1, keepdims=True)
-            hh = ((chunk - mean) * jax.lax.rsqrt(var + eps) * ln2w + ln2b)
-            hh = hh.astype(o_ref.dtype)
-            u = jax.lax.dot_general(hh, w1_ref[...], (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            u = u + b1_ref[...].astype(jnp.float32)
-            u = _act_fn("gelu", o_ref.dtype)(u)
-            u = u.astype(o_ref.dtype)
-            y2 = jax.lax.dot_general(u, w2_ref[...], (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            y2 = y2 + b2_ref[...].astype(jnp.float32)
-            o_ref[i, r0:r1] = (chunk + y2).reshape(r1 - r0, W, c).astype(o_ref.dtype)
-            r0 = r1
+        out = proj[i] + (X4[i] if residual else 0.0)
+        o_ref[i] = out.astype(o_ref.dtype)
 
 
 def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
-                     win, shift, eps, interpret, mlp=None, residual=True):
+                     win, shift, eps, interpret, residual=True):
     b, h, w, c = x.shape
     o, hp, wp, ns, nw = _geom(h, w, win, shift)
     wc = nw * win
@@ -286,17 +292,27 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
     scale = 1.0
     bias_p = permute_bias(bias, win)
 
+    import os as _os
+
+    # windows per attention tile (see _canvas_kernel): 2 → full 128-wide MXU
+    # tiles; the bias becomes block-diagonal (off-diag quadrants are masked,
+    # zeros are fine)
+    pack = int(_os.environ.get("LC2IS_CANVAS_WPACK", "1"))
+    if pack > 1:
+        z = jnp.zeros_like(bias_p)
+        bias_p = jnp.concatenate(
+            [jnp.concatenate([bias_p if i == j else z for j in range(pack)],
+                             axis=2) for i in range(pack)], axis=1)
+
     kw = dict(num_heads=num_heads, scale=scale, eps=eps, win=win,
               shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc,
-              with_mlp=mlp is not None, residual=residual)
+              pack=pack, residual=residual)
     const2 = lambda bb: (0, 0)
     hb_rows = ns * win
 
     # images per grid step: small canvases (stages 3-4) batch several images
     # so the QKV/attention matmul M-dims stay MXU-sized; the budget bounds
     # the kernel's ~10 f32 canvas-sized intermediates.  Must divide b.
-    import os as _os
-
     budget = int(_os.environ.get("LC2IS_CANVAS_IPG_MB", "48")) * 1024 * 1024
     per_img = 10 * hb_rows * max(wc, w) * c * 4
     ipg = max(1, min(b, budget // max(per_img, 1)))
@@ -311,25 +327,12 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
         pl.BlockSpec((1, 3 * c), const2),
         pl.BlockSpec((c, c), const2),
         pl.BlockSpec((1, c), const2),
-        pl.BlockSpec((num_heads, PW * PW, PW * PW), lambda bb: (0, 0, 0)),
+        pl.BlockSpec((num_heads, pack * PW * PW, pack * PW * PW),
+                     lambda bb: (0, 0, 0)),
     ]
     args = [x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
             wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt),
             wo.astype(wdt), bo.reshape(1, c).astype(wdt), bias_p]
-    if mlp is not None:
-        ln2_w, ln2_b, w1, b1, w2, b2 = mlp
-        ff = w1.shape[0]
-        in_specs += [
-            pl.BlockSpec((1, c), const2),
-            pl.BlockSpec((1, c), const2),
-            pl.BlockSpec((ff, c), const2),
-            pl.BlockSpec((1, ff), const2),
-            pl.BlockSpec((c, ff), const2),
-            pl.BlockSpec((1, c), const2),
-        ]
-        args += [ln2_w.reshape(1, c).astype(wdt), ln2_b.reshape(1, c).astype(wdt),
-                 w1.astype(wdt), b1.reshape(1, ff).astype(wdt),
-                 w2.astype(wdt), b2.reshape(1, c).astype(wdt)]
 
     out = pl.pallas_call(
         functools.partial(_canvas_kernel, **kw),
@@ -429,57 +432,6 @@ def _canvas_bwd(num_heads, win, shift, eps, interpret, residual, res, g):
 _canvas_vjp.defvjp(_canvas_fwd, _canvas_bwd)
 
 
-def _xla_canvas_mlp_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                              ln2_w, ln2_b, w1, b1, w2, b2,
-                              num_heads, win, shift, eps):
-    from lc2is_tpu.ops.fused_mlp import _xla_reference as _mlp_ref
-
-    a = _xla_canvas_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                              num_heads, win, shift, eps)
-    b_, h, w, c = a.shape
-    y = _mlp_ref(a.reshape(b_, h * w, c), ln2_w, ln2_b, w1, b1, w2, b2,
-                 act="gelu", pre=True, residual=True, eps=eps)
-    return y.reshape(b_, h, w, c)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18))
-def _canvas_mlp_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                    ln2_w, ln2_b, w1, b1, w2, b2,
-                    num_heads, win, shift, eps, interpret):
-    return _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                            num_heads, win, shift, eps, interpret,
-                            mlp=(ln2_w, ln2_b, w1, b1, w2, b2))
-
-
-def _canvas_mlp_fwd(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                    ln2_w, ln2_b, w1, b1, w2, b2,
-                    num_heads, win, shift, eps, interpret):
-    out = _canvas_mlp_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                          ln2_w, ln2_b, w1, b1, w2, b2,
-                          num_heads, win, shift, eps, interpret)
-    return out, (x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                 ln2_w, ln2_b, w1, b1, w2, b2)
-
-
-def _canvas_mlp_bwd(num_heads, win, shift, eps, interpret, res, g):
-    def ref(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, ln2_w, ln2_b, w1, b1, w2, b2):
-        from lc2is_tpu.ops.fused_mlp import fused_mlp
-
-        a = _pallas_windowed_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
-                                       num_heads, win, shift, eps, interpret)
-        b_, h, w, c = a.shape
-        y = fused_mlp(a.reshape(b_, h * w, c), ln2_w, ln2_b, w1, b1, w2, b2,
-                      activation="gelu", ln_position="pre", eps=eps,
-                      interpret=interpret)
-        return y.reshape(b_, h, w, c)
-
-    _, vjp = jax.vjp(ref, *res)
-    return vjp(g)
-
-
-_canvas_mlp_vjp.defvjp(_canvas_mlp_fwd, _canvas_mlp_bwd)
-
-
 def swin_canvas_block(
     x: jnp.ndarray,  # (B, H, W, C) raw canvas (channels-last)
     ln_w: jnp.ndarray, ln_b: jnp.ndarray,
@@ -491,14 +443,13 @@ def swin_canvas_block(
     shift: int,
     eps: float = 1e-5,
     interpret: bool = False,
-    mlp: Optional[tuple] = None,  # (ln2_w, ln2_b, w1, b1, w2, b2) → merged MLP
     residual: bool = True,  # False → branch-only output (drop-path training)
 ) -> jnp.ndarray:
-    """out = [x +] proj(window_attn(qkv(LN(x)))) straight on the canvas;
-    with ``mlp`` the full swin block (attention + FF halves) in one kernel."""
-    if mlp is not None:
-        assert residual, "merged-MLP canvas path has no branch-only output"
-        return _canvas_mlp_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, *mlp,
-                               num_heads, win, shift, eps, interpret)
+    """out = [x +] proj(window_attn(qkv(LN(x)))) straight on the canvas.
+
+    A merged attn+MLP variant of this kernel was built and measured a LOSS
+    twice on v5e 512²/b16 (swin fwd 28.7 → 40.3 ms; headline 293.3 → 255.9
+    img/s): the saved canvas HBM traffic doesn't pay for the serialized VPU
+    gelu + f32 canvas VMEM pressure — deleted per the win-or-delete rule."""
     return _canvas_vjp(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
                        num_heads, win, shift, eps, interpret, residual)

@@ -165,6 +165,31 @@ def build(part):
             return jnp.argmax(up, axis=1)
 
         return None, (x, txt), fn
+    if part == "head_fused":
+        # the serving head bench.py actually runs (zoo._FinalBase._finish,
+        # predict_masks=True): normalise+classify+x4 upsample+argmax fused
+        from lc2is_tpu.models.zoo import _norm
+        from lc2is_tpu.ops.upsample_argmax import score_upsample_argmax
+
+        x = t(BATCH, 16384, 512)
+        txt = t(BATCH, 151, 512)
+        fn = lambda x, txt: score_upsample_argmax(x, _norm(txt, axis=2), 128, r=4)
+        return None, (x, txt), fn
+    if part == "text_ctx":
+        # per-step prompt cost when text_static is precomputed (bench path):
+        # just the ContextDecoder over the stage-3 visual context + residual
+        from lc2is_tpu.models.zoo import PromptContextBase
+
+        model = PromptContextBase(
+            cfg=zoo.default_denseclip_cfg(),
+            class_names=tuple(f"thing {i}" for i in range(151)),
+            visual_dim=384,
+        )
+        v3 = t(BATCH, 1024, 384)
+        ts = t(151, 512)
+        fn = lambda p, x, s: model.apply(p, x, text_static=s)
+        init = lambda key, x, s: model.init(key, x)
+        return init, (v3, ts), fn
     if part == "full":
         model = zoo.PromptAuxCrossA(
             class_names=tuple(f"thing {i}" for i in range(151)), dtype=bf

@@ -36,6 +36,12 @@ def main(part):
     def t(*shape):
         return jnp.asarray(rng.randn(*shape).astype(np.float32), dtype=bf)
 
+    # LC2IS_PROFILE_DET=0 → deterministic=False + dropout rng, i.e. the path
+    # the REAL train step takes (drop-path active → windowed kernels, not the
+    # inference-only canvas kernels).  Default (det) matches serving.
+    det = os.environ.get("LC2IS_PROFILE_DET", "1") != "0"
+    rngs = None if det else {"dropout": __import__("jax").random.PRNGKey(0)}
+
     if part.startswith("swin"):
         kw = {}
         if part == "swin_stage12":
@@ -48,13 +54,17 @@ def main(part):
             kw = dict(depths=(0, 0, 0, 2), embed_dim=96)
         model = SwinModel(dtype=bf, **kw)
         x = t(BATCH, 3, IMG, IMG)
-        fn = lambda p, x: model.apply(p, x)[-1].astype(jnp.float32).sum()
+        fn = lambda p, x: model.apply(p, x, deterministic=det, rngs=rngs)[-1].astype(jnp.float32).sum()
         init, args = model.init, (x,)
     elif part == "decoder":
-        model = HierarchicalCrossA(in_dims=(96, 192, 384, 768), depth=(1, 1, 1), dim=512)
+        # dropout=0.0 matches the v4 zoo default (canonical train config) —
+        # the class default 0.1 would force the unfused path under det=False
+        model = HierarchicalCrossA(in_dims=(96, 192, 384, 768), depth=(1, 1, 1),
+                                   dim=512, dropout=0.0)
         v = [t(BATCH, 16384, 96), t(BATCH, 4096, 192), t(BATCH, 1024, 384), t(BATCH, 256, 768)]
         txt = t(BATCH, 151, 512)
-        fn = lambda p, *a: model.apply(p, list(a[:4]), a[4]).astype(jnp.float32).sum()
+        fn = lambda p, *a: model.apply(p, list(a[:4]), a[4], deterministic=det,
+                                       rngs=rngs).astype(jnp.float32).sum()
         init = lambda key, *a: model.init(key, list(a[:4]), a[4])
         args = (*v, txt)
     elif part == "text":

@@ -37,7 +37,6 @@ if [ "$MODE" = full ]; then
   run prof_srlayer python scripts/profile_components.py srlayer
   run prof_full    python scripts/profile_components.py full
   run bench_fastgelu env LC2IS_FAST_GELU=1 python bench.py
-  run bench_mergedmlp env LC2IS_FAST_GELU=1 LC2IS_SWIN_CANVAS_MLP=1 python bench.py
   run fastgelu_agreement python scripts/fastgelu_agreement.py
   run bench_sliding python bench_sliding.py
 fi

@@ -37,8 +37,10 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("pack", [1, 2])
 @pytest.mark.parametrize("h,w,c,heads,win,shift", CASES)
-def test_canvas_kernel_parity(h, w, c, heads, win, shift):
+def test_canvas_kernel_parity(h, w, c, heads, win, shift, pack, monkeypatch):
+    monkeypatch.setenv("LC2IS_CANVAS_WPACK", str(pack))
     x, lw, lb, wqkv, bqkv, wo, bo, bias = _mk(2, h, w, c, heads, win)
     got = swin_canvas_block(x, lw, lb, wqkv, bqkv, wo, bo, bias, heads,
                             win, shift, interpret=True)
@@ -59,49 +61,6 @@ def test_canvas_kernel_grad(shift):
         v, lw, lb, wqkv, bqkv, wo, bo, bias, 2, 7, shift, 1e-5).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-4)
-
-
-def _mk_mlp(c, ff, seed=1):
-    rs = np.random.RandomState(seed)
-    return (jnp.asarray(1 + 0.1 * rs.randn(c), jnp.float32),
-            jnp.asarray(0.2 * rs.randn(c), jnp.float32),
-            jnp.asarray(rs.randn(ff, c).astype(np.float32) / np.sqrt(c)),
-            jnp.asarray(0.1 * rs.randn(ff).astype(np.float32)),
-            jnp.asarray(rs.randn(c, ff).astype(np.float32) / np.sqrt(ff)),
-            jnp.asarray(0.1 * rs.randn(c).astype(np.float32)))
-
-
-@pytest.mark.parametrize("h,w,c,heads,win,shift",
-                         [(18, 18, 32, 2, 7, 0), (18, 18, 32, 2, 7, 3),
-                          (12, 12, 32, 2, 4, 2)])
-def test_canvas_merged_mlp_parity(h, w, c, heads, win, shift):
-    from lc2is_tpu.ops.swin_canvas import _xla_canvas_mlp_reference
-
-    x, lw, lb, wqkv, bqkv, wo, bo, bias = _mk(2, h, w, c, heads, win)
-    mlp = _mk_mlp(c, 4 * c)
-    got = swin_canvas_block(x, lw, lb, wqkv, bqkv, wo, bo, bias, heads,
-                            win, shift, interpret=True, mlp=mlp)
-    want = _xla_canvas_mlp_reference(x, lw, lb, wqkv, bqkv, wo, bo, bias,
-                                     *mlp, heads, win, shift, 1e-5)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=3e-4, atol=3e-4)
-
-
-def test_canvas_merged_mlp_grad():
-    from lc2is_tpu.ops.swin_canvas import _xla_canvas_mlp_reference
-
-    x, lw, lb, wqkv, bqkv, wo, bo, bias = _mk(1, 18, 18, 32, 2, 7, seed=3)
-    mlp = _mk_mlp(32, 128, seed=4)
-    g1 = jax.grad(lambda v, w1: swin_canvas_block(
-        v, lw, lb, wqkv, bqkv, wo, bo, bias, 2, 7, 3, interpret=True,
-        mlp=(mlp[0], mlp[1], w1, mlp[3], mlp[4], mlp[5])).sum(),
-        argnums=(0, 1))(x, mlp[2])
-    g2 = jax.grad(lambda v, w1: _xla_canvas_mlp_reference(
-        v, lw, lb, wqkv, bqkv, wo, bo, bias, mlp[0], mlp[1], w1, mlp[3],
-        mlp[4], mlp[5], 2, 7, 3, 1e-5).sum(), argnums=(0, 1))(x, mlp[2])
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-4)
 
 
 def test_canvas_matches_hf_swin_layer():
