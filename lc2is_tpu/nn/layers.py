@@ -95,9 +95,10 @@ class Conv2d(nn.Module):
         w = self.param("weight", tinit.torch_conv_weight, (self.out_channels, in_channels, k, k), self.param_dtype)
         # space-to-depth materialises a (..., k, C) intermediate; for tiny C
         # (patch embeds: C=3) the C-lane dim tile-pads to 128 — up to ~40×
-        # HBM write amplification — so small-C convs can opt back into
-        # lax.conv via LC2IS_S2D_MINC (min in_channels for space-to-depth)
-        s2d_minc = int(_os.environ.get("LC2IS_S2D_MINC", "0"))
+        # HBM write amplification.  Measured v5e 512²/b16 embed chain:
+        # s2d 2.23 ms vs lax.conv 1.5 ms at C=3, while SR reduces (C≥512)
+        # win with s2d — default cutover at 4.
+        s2d_minc = int(_os.environ.get("LC2IS_S2D_MINC", "4"))
         if self.stride == k and in_channels >= s2d_minc:
             # every use here is stride==kernel (patch embed, SR reduce), which
             # is exactly space-to-depth + matmul: identical math, and BOTH the

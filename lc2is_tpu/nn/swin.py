@@ -400,27 +400,20 @@ class SwinPatchMerging(nn.Module):
         self.norm = LayerNorm(param_dtype=self.param_dtype)
 
     def __call__(self, x, hw: Tuple[int, int]):
-        import os as _os
-
         h, w = hw
         b, p, c = x.shape
         x = x.reshape(b, h, w, c)
         if h % 2 or w % 2:
             x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
-        if _os.environ.get("LC2IS_MERGE_IMPL", "slice") == "reshape":
-            # same (dr + 2·dc)-ordered channel blocks as the concat below,
-            # via reshape+transpose instead of four strided slices
-            hh, ww = x.shape[1] // 2, x.shape[2] // 2
-            x = x.reshape(b, hh, 2, ww, 2, c)          # (b, H2, dr, W2, dc, c)
-            x = x.transpose(0, 1, 3, 4, 2, 5)          # (b, H2, W2, dc, dr, c)
-            x = x.reshape(b, hh * ww, 4 * c)
-        else:
-            x0 = x[:, 0::2, 0::2, :]
-            x1 = x[:, 1::2, 0::2, :]
-            x2 = x[:, 0::2, 1::2, :]
-            x3 = x[:, 1::2, 1::2, :]
-            x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-            x = x.reshape(b, -1, 4 * c)
+        # four strided slices + concat; a reshape+transpose variant measured
+        # SLOWER on v5e (embed chain 2.23 → 2.72 ms) — XLA handles the
+        # stride-2 gathers better than the (…, 2, 2, C)-minor transpose
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = x.reshape(b, -1, 4 * c)
         x = self.norm(x)
         return self.reduction(x)
 

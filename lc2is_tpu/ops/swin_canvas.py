@@ -120,7 +120,7 @@ def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp, npi, nwin, ntile, pack):
 def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                    wo_ref, bo_ref, bias_ref, o_ref,
                    num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
-                   ns, nw, wc, pack=1, residual=True):
+                   ns, nw, wc, pack=1, residual=True, ablate=""):
     """``ipg`` images per grid step (x_ref.shape[0]): LN+QKV once over the
     canvases, per-strip window layout in VMEM, attention batched over ALL
     ipg·ns·nw windows — small canvases (stages 3-4) batch several images to
@@ -191,57 +191,64 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     else:
         hw = jnp.concatenate([transform(h4[i]) for i in range(ipg)], axis=0)
 
-    # packed QKV over all padded window tokens; zero-padded slots get
-    # qkv = bqkv — exactly the qkv of HF's post-LN-zero pad tokens
-    qkv2 = jax.lax.dot_general(hw.reshape(nwin * PW * PW, c), wqkv_ref[...],
-                               (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    qkv = (qkv2 + bqkv_ref[...].astype(jnp.float32)).astype(dt).reshape(
-        nwin, PW * PW, 3 * c)
+    if ablate == "layout":  # measurement-only: transform+inverse, no compute
+        attn = hw
+    else:
+        # packed QKV over all padded window tokens; zero-padded slots get
+        # qkv = bqkv — exactly the qkv of HF's post-LN-zero pad tokens
+        qkv2 = jax.lax.dot_general(
+            hw.reshape(nwin * PW * PW, c), wqkv_ref[...],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        qkv = (qkv2 + bqkv_ref[...].astype(jnp.float32)).astype(dt).reshape(
+            nwin, PW * PW, 3 * c)
 
-    # ---- window packing: `pack` windows per attention tile ----
-    # A (64, 32)·(32, 64) per-window matmul uses a quarter of the 128×128
-    # MXU tile; packing 2 consecutive windows makes every attention matmul
-    # a full (128, dh)·(dh, 128) tile at the cost of 2× logits FLOPs (the
-    # cross-window quadrants are masked; the bias is block-diagonal,
-    # prepared outside).  Win when dispatch-bound (many small windows).
-    ntok = PW * PW
-    padw = (-nwin) % pack
-    ntile = (nwin + padw) // pack
-    if pack > 1:
-        if padw:
-            qkv = jnp.concatenate(
-                [qkv, jnp.zeros((padw, ntok, 3 * c), dt)], axis=0)
-        qkv = qkv.reshape(ntile, pack, ntok, 3 * c).reshape(
-            ntile, pack * ntok, 3 * c)
-    lab = _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp,
-                      ns * nw, nwin, ntile, pack)
+    if ablate == "noattn":  # measurement-only: LN+QKV+proj, no attention
+        attn = qkv[:, :, :c]
+    elif ablate != "layout":
+        # ---- window packing: `pack` windows per attention tile ----
+        # A (64, 32)·(32, 64) per-window matmul uses a quarter of the
+        # 128×128 MXU tile; packing 2 consecutive windows makes every
+        # attention matmul a full (128, dh)·(dh, 128) tile at the cost of
+        # 2× logits FLOPs (the cross-window quadrants are masked; the bias
+        # is block-diagonal, prepared outside).
+        ntok = PW * PW
+        padw = (-nwin) % pack
+        ntile = (nwin + padw) // pack
+        if pack > 1:
+            if padw:
+                qkv = jnp.concatenate(
+                    [qkv, jnp.zeros((padw, ntok, 3 * c), dt)], axis=0)
+            qkv = qkv.reshape(ntile, pack, ntok, 3 * c).reshape(
+                ntile, pack * ntok, 3 * c)
+        lab = _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp,
+                          ns * nw, nwin, ntile, pack)
 
-    # ---- batched per-head window attention with label masking ----
-    masked = (lab[:, :, None] != lab[:, None, :]) | (lab[:, None, :] == -1)
-    outs = []
-    for hd in range(num_heads):
-        qh = qkv[:, :, hd * dh:(hd + 1) * dh]
-        kh = qkv[:, :, c + hd * dh: c + (hd + 1) * dh]
-        vh = qkv[:, :, 2 * c + hd * dh: 2 * c + (hd + 1) * dh]
-        logits = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
-                                     preferred_element_type=jnp.float32)
-        if scale != 1.0:  # 1.0 when the caller folded 1/√dh into wq/bq
-            logits = logits * scale
-        logits = logits + bias_ref[hd][None]
-        logits = jnp.where(masked, NEG, logits)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        # per-row reciprocal, not an elementwise (.., p, p) divide
-        probs = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
-        outs.append(jax.lax.dot_general(
-            probs.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype))
-    attn = jnp.concatenate(outs, axis=-1)
-    if pack > 1:
-        # un-pair: split the tile's sublane dim back into (pack, 64), merge
-        # the two major dims, drop the pack padding
-        attn = attn.reshape(ntile, pack, ntok, c).reshape(-1, ntok, c)[:nwin]
+        # ---- batched per-head window attention with label masking ----
+        masked = (lab[:, :, None] != lab[:, None, :]) | (lab[:, None, :] == -1)
+        outs = []
+        for hd in range(num_heads):
+            qh = qkv[:, :, hd * dh:(hd + 1) * dh]
+            kh = qkv[:, :, c + hd * dh: c + (hd + 1) * dh]
+            vh = qkv[:, :, 2 * c + hd * dh: 2 * c + (hd + 1) * dh]
+            logits = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                         preferred_element_type=jnp.float32)
+            if scale != 1.0:  # 1.0 when the caller folded 1/√dh into wq/bq
+                logits = logits * scale
+            logits = logits + bias_ref[hd][None]
+            logits = jnp.where(masked, NEG, logits)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            # per-row reciprocal, not an elementwise (.., p, p) divide
+            probs = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+            outs.append(jax.lax.dot_general(
+                probs.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype))
+        attn = jnp.concatenate(outs, axis=-1)
+        if pack > 1:
+            # un-pair: split the tile's sublane dim back into (pack, 64),
+            # merge the two major dims, drop the pack padding
+            attn = attn.reshape(ntile, pack, ntok, c).reshape(
+                -1, ntok, c)[:nwin]
     # attn: (ipg·ns·nw, 64, C)
 
     # ---- inverse layout per image, THEN out-proj on the compact canvas ----
@@ -265,11 +272,14 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     npi = ns * nw  # windows per image
     comp = (inverse(attn) if ipg == 1 else jnp.concatenate(
         [inverse(attn[i * npi:(i + 1) * npi]) for i in range(ipg)], axis=0))
-    proj = jax.lax.dot_general(comp.reshape(ipg * hb_rows * W, c), wo_ref[...],
-                               (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    proj = (proj + bo_ref[...].astype(jnp.float32)).reshape(
-        ipg, hb_rows, W, c)
+    if ablate == "layout":
+        proj = comp.astype(jnp.float32).reshape(ipg, hb_rows, W, c)
+    else:
+        proj = jax.lax.dot_general(
+            comp.reshape(ipg * hb_rows * W, c), wo_ref[...],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        proj = (proj + bo_ref[...].astype(jnp.float32)).reshape(
+            ipg, hb_rows, W, c)
     for i in range(ipg):
         out = proj[i] + (X4[i] if residual else 0.0)
         o_ref[i] = out.astype(o_ref.dtype)
@@ -298,6 +308,9 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
     # tiles; the bias becomes block-diagonal (off-diag quadrants are masked,
     # zeros are fine)
     pack = int(_os.environ.get("LC2IS_CANVAS_WPACK", "1"))
+    # measurement-only kernel ablation ("layout" | "noattn"): wrong results,
+    # used by scripts/probe_canvas.py to attribute in-kernel time
+    ablate = _os.environ.get("LC2IS_CANVAS_ABLATE", "")
     if pack > 1:
         z = jnp.zeros_like(bias_p)
         bias_p = jnp.concatenate(
@@ -306,7 +319,7 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
 
     kw = dict(num_heads=num_heads, scale=scale, eps=eps, win=win,
               shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc,
-              pack=pack, residual=residual)
+              pack=pack, residual=residual, ablate=ablate)
     const2 = lambda bb: (0, 0)
     hb_rows = ns * win
 

@@ -114,7 +114,10 @@ def build(part):
             g = jax.tree_util.tree_map(lambda x: x + eps.astype(x.dtype), g)
             updates, o2 = tx.update(g, o, p)
             p2 = optax.apply_updates(p, updates)
-            return jax.tree_util.tree_leaves(p2)[0]
+            # consume EVERY leaf — returning one lets XLA DCE the rest of
+            # the update
+            return sum(l.astype(jnp.float32).mean()
+                       for l in jax.tree_util.tree_leaves(p2))
 
         return "raw", ((params, opt_state, grads),), fn
     if part in ("losspath", "losspath_fused"):
