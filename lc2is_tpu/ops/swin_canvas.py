@@ -120,7 +120,7 @@ def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp, npi, nwin, ntile, pack):
 def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                    wo_ref, bo_ref, bias_ref, o_ref,
                    num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
-                   ns, nw, wc, pack=1, residual=True, ablate=""):
+                   ns, nw, wc, residual=True, ablate=""):
     """``ipg`` images per grid step (x_ref.shape[0]): LN+QKV once over the
     canvases, per-strip window layout in VMEM, attention batched over ALL
     ipg·ns·nw windows — small canvases (stages 3-4) batch several images to
@@ -205,23 +205,14 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     if ablate == "noattn":  # measurement-only: LN+QKV+proj, no attention
         attn = qkv[:, :, :c]
     elif ablate != "layout":
-        # ---- window packing: `pack` windows per attention tile ----
-        # A (64, 32)·(32, 64) per-window matmul uses a quarter of the
-        # 128×128 MXU tile; packing 2 consecutive windows makes every
-        # attention matmul a full (128, dh)·(dh, 128) tile at the cost of
-        # 2× logits FLOPs (the cross-window quadrants are masked; the bias
-        # is block-diagonal, prepared outside).
-        ntok = PW * PW
-        padw = (-nwin) % pack
-        ntile = (nwin + padw) // pack
-        if pack > 1:
-            if padw:
-                qkv = jnp.concatenate(
-                    [qkv, jnp.zeros((padw, ntok, 3 * c), dt)], axis=0)
-            qkv = qkv.reshape(ntile, pack, ntok, 3 * c).reshape(
-                ntile, pack * ntok, 3 * c)
+        # NOTE a window-PAIR packing variant (2 windows per attention tile,
+        # full 128-wide MXU matmuls, block-diag bias, iota-packed labels)
+        # was built and measured a LOSS twice on v5e 512²/b16 (stage 1-2:
+        # 10.9 → 12.9 ms; full swin 28.1 → 29.3): the attention is not
+        # dispatch-bound, so the 2× logits FLOPs + 2× softmax VPU work cost
+        # more than the fuller MXU tiles saved — deleted (win-or-delete).
         lab = _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp,
-                          ns * nw, nwin, ntile, pack)
+                          ns * nw, nwin, nwin, 1)
 
         # ---- batched per-head window attention with label masking ----
         masked = (lab[:, :, None] != lab[:, None, :]) | (lab[:, None, :] == -1)
@@ -244,11 +235,6 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                 probs.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32).astype(o_ref.dtype))
         attn = jnp.concatenate(outs, axis=-1)
-        if pack > 1:
-            # un-pair: split the tile's sublane dim back into (pack, 64),
-            # merge the two major dims, drop the pack padding
-            attn = attn.reshape(ntile, pack, ntok, c).reshape(
-                -1, ntok, c)[:nwin]
     # attn: (ipg·ns·nw, 64, C)
 
     # ---- inverse layout per image, THEN out-proj on the compact canvas ----
@@ -304,22 +290,13 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
 
     import os as _os
 
-    # windows per attention tile (see _canvas_kernel): 2 → full 128-wide MXU
-    # tiles; the bias becomes block-diagonal (off-diag quadrants are masked,
-    # zeros are fine)
-    pack = int(_os.environ.get("LC2IS_CANVAS_WPACK", "1"))
     # measurement-only kernel ablation ("layout" | "noattn"): wrong results,
     # used by scripts/probe_canvas.py to attribute in-kernel time
     ablate = _os.environ.get("LC2IS_CANVAS_ABLATE", "")
-    if pack > 1:
-        z = jnp.zeros_like(bias_p)
-        bias_p = jnp.concatenate(
-            [jnp.concatenate([bias_p if i == j else z for j in range(pack)],
-                             axis=2) for i in range(pack)], axis=1)
 
     kw = dict(num_heads=num_heads, scale=scale, eps=eps, win=win,
               shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc,
-              pack=pack, residual=residual, ablate=ablate)
+              residual=residual, ablate=ablate)
     const2 = lambda bb: (0, 0)
     hb_rows = ns * win
 
@@ -340,8 +317,7 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
         pl.BlockSpec((1, 3 * c), const2),
         pl.BlockSpec((c, c), const2),
         pl.BlockSpec((1, c), const2),
-        pl.BlockSpec((num_heads, pack * PW * PW, pack * PW * PW),
-                     lambda bb: (0, 0, 0)),
+        pl.BlockSpec((num_heads, PW * PW, PW * PW), lambda bb: (0, 0, 0)),
     ]
     args = [x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
             wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt),

@@ -37,10 +37,8 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("pack", [1, 2])
 @pytest.mark.parametrize("h,w,c,heads,win,shift", CASES)
-def test_canvas_kernel_parity(h, w, c, heads, win, shift, pack, monkeypatch):
-    monkeypatch.setenv("LC2IS_CANVAS_WPACK", str(pack))
+def test_canvas_kernel_parity(h, w, c, heads, win, shift):
     x, lw, lb, wqkv, bqkv, wo, bo, bias = _mk(2, h, w, c, heads, win)
     got = swin_canvas_block(x, lw, lb, wqkv, bqkv, wo, bo, bias, heads,
                             win, shift, interpret=True)
