@@ -63,23 +63,25 @@ def _geom(h: int, w: int, win: int, shift: int):
 
 
 @functools.lru_cache(maxsize=8)
-def _token_perm(win: int) -> np.ndarray:
-    """(64,) map from kernel token order t = c·8 + r to standard r·win + c;
-    invalid slots (r ≥ win or c ≥ win) point at 0 (they are label-masked)."""
+def _token_perm(win: int, rowmajor: bool = False) -> np.ndarray:
+    """(64,) map from kernel token order (t = c·8 + r column-major, or
+    t = r·8 + c row-major) to standard r·win + c; invalid slots (r ≥ win or
+    c ≥ win) point at 0 (they are label-masked)."""
     idx = np.zeros(PW * PW, np.int64)
     for c in range(win):
         for r in range(win):
-            idx[c * PW + r] = r * win + c
+            idx[(r * PW + c) if rowmajor else (c * PW + r)] = r * win + c
     return idx
 
 
-def permute_bias(bias: jnp.ndarray, win: int) -> jnp.ndarray:
+def permute_bias(bias: jnp.ndarray, win: int, rowmajor: bool = False) -> jnp.ndarray:
     """(H, win², win²) → (H, 64, 64) in kernel token order."""
-    idx = jnp.asarray(_token_perm(win))
+    idx = jnp.asarray(_token_perm(win, rowmajor))
     return bias[:, idx][:, :, idx].astype(jnp.float32)
 
 
-def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp, npi, nwin, ntile, pack):
+def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp, npi, nwin, ntile, pack,
+                rowmajor=False):
     """(ntile, pack·64) region labels (-1 = void), built straight from iota
     at the PACKED shape (no reshapes — Mosaic rejects lane/sublane-merging
     vector reshapes on int32).  Token tt of tile ti is token tt%64 of global
@@ -99,8 +101,12 @@ def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp, npi, nwin, ntile, pack):
     w = g % npi
     i = w // nw
     j = w - i * nw
-    c_in = t // PW
-    r_in = t - c_in * PW
+    if rowmajor:  # t = r·8 + c
+        r_in = t // PW
+        c_in = t - r_in * PW
+    else:  # t = c·8 + r
+        c_in = t // PW
+        r_in = t - c_in * PW
     row = i * win - o + r_in
     col = j * win - o + c_in
     void = ((r_in >= win) | (row < 0) | (row >= Hp)
@@ -120,7 +126,7 @@ def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp, npi, nwin, ntile, pack):
 def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                    wo_ref, bo_ref, bias_ref, o_ref,
                    num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
-                   ns, nw, wc, residual=True, ablate=""):
+                   ns, nw, wc, residual=True, rowmajor=False, ablate=""):
     """``ipg`` images per grid step (x_ref.shape[0]): LN+QKV once over the
     canvases, per-strip window layout in VMEM, attention batched over ALL
     ipg·ns·nw windows — small canvases (stages 3-4) batch several images to
@@ -162,7 +168,7 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     # Strips tile the row range [-o, ns·win − o) CONTIGUOUSLY, so the whole
     # "per-strip extraction" is one top/left zero pad of the canvas — no
     # slicing loop at all.
-    def transform(canvas):
+    def _offset_pad(canvas):
         ch, dtp = canvas.shape[-1], canvas.dtype
         cat = canvas  # (hb_rows, W, ch)
         if o:
@@ -173,7 +179,13 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
             cols.insert(0, jnp.zeros((hb_rows, o, ch), dtp))
         if wc - o - W:
             cols.append(jnp.zeros((hb_rows, wc - o - W, ch), dtp))
-        cat = jnp.concatenate(cols, axis=1) if len(cols) > 1 else cat  # (hb, wc, ch)
+        return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cat
+
+    def transform_cm(canvas):
+        # column-major tokens (t = c_in·8 + r_in): needs a sublane↔major
+        # swapaxes + moveaxis — vector-shuffle heavy
+        ch, dtp = canvas.shape[-1], canvas.dtype
+        cat = _offset_pad(canvas)                          # (hb, wc, ch)
         cat = cat.reshape(ns, win, wc, ch)
         cat = jnp.concatenate(
             [cat, jnp.zeros((ns, PW - win, wc, ch), dtp)], axis=1)  # pad rows
@@ -184,6 +196,21 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
             [cat, jnp.zeros((nw, PW - win, ns, PW, ch), dtp)], axis=1)
         cat = jnp.moveaxis(cat, 2, 0)                      # (ns, nw, 8, 8, ch) major permute
         return cat.reshape(ns * nw, PW * PW, ch)           # t = c_in·8 + r_in
+
+    def transform_rm(canvas):
+        # row-major tokens (t = r_in·8 + c_in): pads + split reshapes + ONE
+        # major-dim transpose — no sublane↔major exchange at all
+        ch, dtp = canvas.shape[-1], canvas.dtype
+        cat = _offset_pad(canvas)                          # (hb, wc, ch)
+        cat = cat.reshape(ns, win, nw, win, ch)            # rows/cols split
+        cat = jnp.concatenate(                             # pad r: win → 8
+            [cat, jnp.zeros((ns, PW - win, nw, win, ch), dtp)], axis=1)
+        cat = jnp.concatenate(                             # pad c: win → 8
+            [cat, jnp.zeros((ns, PW, nw, PW - win, ch), dtp)], axis=3)
+        cat = cat.transpose(0, 2, 1, 3, 4)                 # (ns, nw, 8, 8, ch) major permute
+        return cat.reshape(ns * nw, PW * PW, ch)           # t = r_in·8 + c_in
+
+    transform = transform_rm if rowmajor else transform_cm
 
     nwin = ipg * ns * nw
     if ipg == 1:
@@ -212,7 +239,7 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         # dispatch-bound, so the 2× logits FLOPs + 2× softmax VPU work cost
         # more than the fuller MXU tiles saved — deleted (win-or-delete).
         lab = _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp,
-                          ns * nw, nwin, nwin, 1)
+                          ns * nw, nwin, nwin, 1, rowmajor=rowmajor)
 
         # ---- batched per-head window attention with label masking ----
         masked = (lab[:, :, None] != lab[:, None, :]) | (lab[:, None, :] == -1)
@@ -242,11 +269,7 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     # the per-token projection — proj M drops from nwin·64 padded slots to
     # ipg·Hb·W (the zero rows it re-introduces land at rows ≥ H, which the
     # caller crops, so the missing +bo there is invisible).
-    def inverse(toks):
-        y = jnp.moveaxis(toks.reshape(ns, nw, PW, PW, c), 0, 2)  # (nw, 8, ns, 8, C)
-        y = y[:, :win].reshape(wc, ns * PW, c)
-        y = jnp.swapaxes(y, 0, 1)                                # (ns·8, Wc, C)
-        y = y.reshape(ns, PW, wc, c)[:, :win].reshape(ns * win, wc, c)
+    def _unshift(y):
         if o:
             # undo the offset-window shift: canvas (row, col) lives at strip
             # position (row + o, col + o)
@@ -254,6 +277,22 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
             y = jnp.concatenate(
                 [y[o:], jnp.zeros((o, y.shape[1], c), y.dtype)], axis=0)
         return y[:, :W]
+
+    def inverse_cm(toks):
+        y = jnp.moveaxis(toks.reshape(ns, nw, PW, PW, c), 0, 2)  # (nw, 8, ns, 8, C)
+        y = y[:, :win].reshape(wc, ns * PW, c)
+        y = jnp.swapaxes(y, 0, 1)                                # (ns·8, Wc, C)
+        y = y.reshape(ns, PW, wc, c)[:, :win].reshape(ns * win, wc, c)
+        return _unshift(y)
+
+    def inverse_rm(toks):
+        y = toks.reshape(ns, nw, PW, PW, c)
+        y = y.transpose(0, 2, 1, 3, 4)                           # (ns, 8, nw, 8, C)
+        y = y[:, :win, :, :win]                                  # drop 7→8 pads
+        y = y.reshape(ns * win, nw * win, c)
+        return _unshift(y)
+
+    inverse = inverse_rm if rowmajor else inverse_cm
 
     npi = ns * nw  # windows per image
     comp = (inverse(attn) if ipg == 1 else jnp.concatenate(
@@ -286,17 +325,21 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
     bqkv = jnp.concatenate([bqkv[:c].astype(jnp.float32) * scl,
                             bqkv[c:].astype(jnp.float32)]).astype(bqkv.dtype)
     scale = 1.0
-    bias_p = permute_bias(bias, win)
 
     import os as _os
 
+    # token order inside the kernel: row-major (t = r·8 + c) replaces the
+    # sublane↔major swapaxes/moveaxis of the column-major layout with pads +
+    # split reshapes + one major-dim transpose (A/B knob)
+    rowmajor = _os.environ.get("LC2IS_CANVAS_LAYOUT", "cm") == "rm"
+    bias_p = permute_bias(bias, win, rowmajor)
     # measurement-only kernel ablation ("layout" | "noattn"): wrong results,
     # used by scripts/probe_canvas.py to attribute in-kernel time
     ablate = _os.environ.get("LC2IS_CANVAS_ABLATE", "")
 
     kw = dict(num_heads=num_heads, scale=scale, eps=eps, win=win,
               shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc,
-              residual=residual, ablate=ablate)
+              residual=residual, rowmajor=rowmajor, ablate=ablate)
     const2 = lambda bb: (0, 0)
     hb_rows = ns * win
 

@@ -37,8 +37,10 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("layout", ["cm", "rm"])
 @pytest.mark.parametrize("h,w,c,heads,win,shift", CASES)
-def test_canvas_kernel_parity(h, w, c, heads, win, shift):
+def test_canvas_kernel_parity(h, w, c, heads, win, shift, layout, monkeypatch):
+    monkeypatch.setenv("LC2IS_CANVAS_LAYOUT", layout)
     x, lw, lb, wqkv, bqkv, wo, bo, bias = _mk(2, h, w, c, heads, win)
     got = swin_canvas_block(x, lw, lb, wqkv, bqkv, wo, bo, bias, heads,
                             win, shift, interpret=True)
