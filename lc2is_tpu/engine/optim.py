@@ -48,12 +48,20 @@ def make_optimizer(
     frozen_prefixes: Sequence[str] = (),
     grad_clip: Optional[float] = None,
 ):
+    import os
+
     sched = make_schedule(schedule, lr, total_steps, warmup)
     chain = []
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))
     chain.append(optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay))
     tx = optax.chain(*chain)
+    # one fused update over a single raveled vector instead of ~700 per-leaf
+    # kernels (measured v5e: the AdamW step alone was 14.5 ms / 5.6 GB of a
+    # 137 ms train step).  Requires a uniform param dtype (ravel+concat).
+    dtypes = {l.dtype for l in jax.tree_util.tree_leaves(params)}
+    if len(dtypes) == 1 and os.environ.get("LC2IS_FLAT_OPT", "1") != "0":
+        tx = optax.flatten(tx)
     if frozen_prefixes:
         mask = frozen_mask(params, frozen_prefixes)
         tx = optax.multi_transform(

@@ -282,11 +282,11 @@ class SwinBlock(nn.Module):
         # (image-batched canvas beats the windowed path at stage 3 — the XLA
         # 7-granular partition/reverse transposes cost ~2.4 ms standalone),
         # 768 → 29.4 (stage-4 canvas loses; 2 blocks, 9 windows/img) — hence
-        # the default gate at 384.  INFERENCE-ONLY: the canvas backward
-        # re-runs a full windowed forward before its Pallas backward
-        # (recompute-on-recompute; measured bench_train 56.8 → 32.0 img/s
-        # when training routed through it), so training keeps the windowed
-        # kernels whose backward recomputes once, in VMEM.
+        # the default gate at 384.  Training now routes through it too: the
+        # custom VJP is a canvas-direct Pallas backward (in-VMEM recompute,
+        # _canvas_bwd_kernel) — the earlier inference-only restriction dated
+        # from a recompute-on-recompute fallback that no longer exists.
+        # LC2IS_CANVAS_TRAIN=0 restores the windowed training path.
         canvas_maxc = int(_os.environ.get("LC2IS_SWIN_CANVAS_MAXC", "384"))
         # f32 compute doubles the kernel's canvas-sized VMEM intermediates;
         # a full f32 stage-1 canvas (6.3 MB) overflows the 128 MB VMEM
@@ -294,8 +294,15 @@ class SwinBlock(nn.Module):
         # for big f32 canvases (bf16, the serving dtype, is unaffected)
         canvas_fits = (x.dtype == jnp.bfloat16
                        or h * w * c * x.dtype.itemsize <= 4 * 1024 * 1024)
+        # training additionally gates on a channel floor: every extra canvas
+        # stage adds fwd+bwd Mosaic kernel variants to the one train-step
+        # compile, and the remote compile helper has been OOM-killed with
+        # all three stages canvased (SIGKILL from tpu_compile_helper)
+        train_minc = int(_os.environ.get("LC2IS_CANVAS_TRAIN_MINC", "384"))
         use_canvas = (fuse_attn and c <= canvas_maxc and canvas_fits
-                      and deterministic
+                      and (deterministic
+                           or (c >= train_minc
+                               and _os.environ.get("LC2IS_CANVAS_TRAIN", "1") != "0"))
                       and _os.environ.get("LC2IS_SWIN_CANVAS", "1") != "0")
         if use_canvas:
             from lc2is_tpu.ops.swin_canvas import swin_canvas_block

@@ -367,8 +367,11 @@ def _bwd_pallas(x, k, v, wq, bq, wo, bo, ln_w, ln_b, g, num_heads, eps,
     scale = 1.0 / np.sqrt(dh)
     wdt = x.dtype
 
+    import os as _os
+
     per_tok = 3 * l * 4 + 8 * c * 4
-    bt = max(128, min(512, (3 * 1024 * 1024) // per_tok))
+    bwd_mb = int(_os.environ.get("LC2IS_ATTNBLOCK_BWD_MB", "3"))
+    bt = max(128, min(2048, (bwd_mb * 1024 * 1024) // per_tok))
     bt = (bt // 128) * 128
     bt = min(bt, max(128, ((p + 127) // 128) * 128))
     p_pad = ((p + bt - 1) // bt) * bt

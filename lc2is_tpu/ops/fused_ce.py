@@ -218,10 +218,12 @@ def _fused_ce(score, labels, r, ignore_index, interpret):
 
 
 def _pick_hb(h, k, w, r):
-    hb = 8
+    import os
+
+    hb = int(os.environ.get("LC2IS_CE_HB", "8"))  # low rows per grid step
     while h % hb:
         hb //= 2
-    return hb
+    return max(hb, 1)
 
 
 def _fwd_with_count(score, labels, r, ignore_index, interpret):

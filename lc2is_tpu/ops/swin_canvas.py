@@ -123,51 +123,18 @@ def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp, npi, nwin, ntile, pack,
     return jnp.where(void, -1, lab)
 
 
-def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                   wo_ref, bo_ref, bias_ref, o_ref,
-                   num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
-                   ns, nw, wc, residual=True, rowmajor=False, ablate=""):
-    """``ipg`` images per grid step (x_ref.shape[0]): LN+QKV once over the
-    canvases, per-strip window layout in VMEM, attention batched over ALL
-    ipg·ns·nw windows — small canvases (stages 3-4) batch several images to
-    keep the matmul M-dims MXU-sized; big canvases (stage 1) run one at a
-    time for VMEM."""
+def _make_layout(ns, nw, win, o, W, wc, rowmajor):
+    """In-VMEM canvas ↔ window-token layout maps (exact adjoints of each
+    other: transform places every canvas position in exactly one window
+    slot, zero-filling pads; inverse reads each slot back and drops pads).
+
+    - transform: (hb_rows, W, ch) canvas → (ns·nw, 64, ch) tokens.  Strips
+      tile the row range [-o, ns·win − o) CONTIGUOUSLY, so the per-strip
+      extraction is one top/left zero pad — no slicing loop.
+    - inverse: tokens → canvas.
+    """
     hb_rows = ns * win
-    ipg = x_ref.shape[0]
-    c = x_ref.shape[-1]
-    dh = c // num_heads
-    X4 = x_ref[...].astype(jnp.float32)  # (ipg, Hb, W, C); rows >= H garbage
 
-    # ---- whole-canvas LN + HF pad-after-LN zeroing (canvas-global mask) ----
-    x2 = X4.reshape(ipg * hb_rows * W, c)
-    mean = x2.mean(axis=-1, keepdims=True)
-    var = ((x2 - mean) ** 2).mean(axis=-1, keepdims=True)
-    hn = (x2 - mean) * jax.lax.rsqrt(var + eps)
-    hn = hn * lnw_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
-    h4 = hn.reshape(ipg, hb_rows, W, c)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, W), 0)
-    # where (not multiply): kills NaN from uninitialised out-of-bounds rows.
-    # The unsqueeze happens on the int32 (bool minor-dim inserts are
-    # unsupported on TPU); the comparison then yields a 3-D i1 directly.
-    h4 = jnp.where(rr[None, :, :, None] >= H, 0.0, h4)
-    # (cols beyond W do not exist in the block; the strip transform pads
-    # them with zeros, which is exactly the HF zero-pad value)
-
-    # The QKV matmul runs on the PADDED window tokens, after the layout
-    # transform.  A compact-canvas-first variant (QKV before the layout,
-    # bias after, M = real tokens — 2.25× fewer MACs on shifted stage-3
-    # blocks) was built and measured SLOWER (swin fwd 28.7 → 34.1 ms at
-    # 512²/b16): the layout transform then shuffles a 3C-wide qkv canvas,
-    # and its VMEM copy bytes outweigh the matmul savings.  What survives
-    # from that experiment: the transform moves compute-dtype (bf16) data,
-    # not f32, and the out-projection runs compact after the inverse.
-    dt = o_ref.dtype
-    h4 = h4.astype(dt)
-
-    # ---- canvas → (ns·nw, 64, ch) tokens ----
-    # Strips tile the row range [-o, ns·win − o) CONTIGUOUSLY, so the whole
-    # "per-strip extraction" is one top/left zero pad of the canvas — no
-    # slicing loop at all.
     def _offset_pad(canvas):
         ch, dtp = canvas.shape[-1], canvas.dtype
         cat = canvas  # (hb_rows, W, ch)
@@ -210,7 +177,79 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         cat = cat.transpose(0, 2, 1, 3, 4)                 # (ns, nw, 8, 8, ch) major permute
         return cat.reshape(ns * nw, PW * PW, ch)           # t = r_in·8 + c_in
 
-    transform = transform_rm if rowmajor else transform_cm
+    def _unshift(y):
+        ch = y.shape[-1]
+        if o:
+            # undo the offset-window shift: canvas (row, col) lives at strip
+            # position (row + o, col + o)
+            y = y[:, o:]
+            y = jnp.concatenate(
+                [y[o:], jnp.zeros((o, y.shape[1], ch), y.dtype)], axis=0)
+        return y[:, :W]
+
+    def inverse_cm(toks):
+        ch = toks.shape[-1]
+        y = jnp.moveaxis(toks.reshape(ns, nw, PW, PW, ch), 0, 2)  # (nw, 8, ns, 8, ch)
+        y = y[:, :win].reshape(wc, ns * PW, ch)
+        y = jnp.swapaxes(y, 0, 1)                                # (ns·8, Wc, ch)
+        y = y.reshape(ns, PW, wc, ch)[:, :win].reshape(ns * win, wc, ch)
+        return _unshift(y)
+
+    def inverse_rm(toks):
+        ch = toks.shape[-1]
+        y = toks.reshape(ns, nw, PW, PW, ch)
+        y = y.transpose(0, 2, 1, 3, 4)                           # (ns, 8, nw, 8, ch)
+        y = y[:, :win, :, :win]                                  # drop 7→8 pads
+        y = y.reshape(ns * win, nw * win, ch)
+        return _unshift(y)
+
+    if rowmajor:
+        return transform_rm, inverse_rm
+    return transform_cm, inverse_cm
+
+
+def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                   wo_ref, bo_ref, bias_ref, o_ref,
+                   num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
+                   ns, nw, wc, residual=True, rowmajor=False, ablate=""):
+    """``ipg`` images per grid step (x_ref.shape[0]): LN+QKV once over the
+    canvases, per-strip window layout in VMEM, attention batched over ALL
+    ipg·ns·nw windows — small canvases (stages 3-4) batch several images to
+    keep the matmul M-dims MXU-sized; big canvases (stage 1) run one at a
+    time for VMEM."""
+    hb_rows = ns * win
+    ipg = x_ref.shape[0]
+    c = x_ref.shape[-1]
+    dh = c // num_heads
+    X4 = x_ref[...].astype(jnp.float32)  # (ipg, Hb, W, C); rows >= H garbage
+
+    # ---- whole-canvas LN + HF pad-after-LN zeroing (canvas-global mask) ----
+    x2 = X4.reshape(ipg * hb_rows * W, c)
+    mean = x2.mean(axis=-1, keepdims=True)
+    var = ((x2 - mean) ** 2).mean(axis=-1, keepdims=True)
+    hn = (x2 - mean) * jax.lax.rsqrt(var + eps)
+    hn = hn * lnw_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
+    h4 = hn.reshape(ipg, hb_rows, W, c)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, W), 0)
+    # where (not multiply): kills NaN from uninitialised out-of-bounds rows.
+    # The unsqueeze happens on the int32 (bool minor-dim inserts are
+    # unsupported on TPU); the comparison then yields a 3-D i1 directly.
+    h4 = jnp.where(rr[None, :, :, None] >= H, 0.0, h4)
+    # (cols beyond W do not exist in the block; the strip transform pads
+    # them with zeros, which is exactly the HF zero-pad value)
+
+    # The QKV matmul runs on the PADDED window tokens, after the layout
+    # transform.  A compact-canvas-first variant (QKV before the layout,
+    # bias after, M = real tokens — 2.25× fewer MACs on shifted stage-3
+    # blocks) was built and measured SLOWER (swin fwd 28.7 → 34.1 ms at
+    # 512²/b16): the layout transform then shuffles a 3C-wide qkv canvas,
+    # and its VMEM copy bytes outweigh the matmul savings.  What survives
+    # from that experiment: the transform moves compute-dtype (bf16) data,
+    # not f32, and the out-projection runs compact after the inverse.
+    dt = o_ref.dtype
+    h4 = h4.astype(dt)
+
+    transform, inverse = _make_layout(ns, nw, win, o, W, wc, rowmajor)
 
     nwin = ipg * ns * nw
     if ipg == 1:
@@ -242,6 +281,16 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                           ns * nw, nwin, nwin, 1, rowmajor=rowmajor)
 
         # ---- batched per-head window attention with label masking ----
+        # The softmax is the stage-1/2 VPU bottleneck (ablation: attention
+        # is ~6/7 of the stage-1 kernel; logits vectors are 64-lane — half
+        # the VPU width), so two elementwise passes are shaved off:
+        # - no max-subtraction: swin logits are bounded (|qk/√dh| + bias
+        #   ≪ 50), so exp(l − 30) cannot overflow f32, and masked slots are
+        #   exp(−1e30) = 0 exactly; an all-masked (void) row would yield
+        #   0/0 → the 1e-30 guard turns it into 0s (void outputs are
+        #   dropped by the inverse layout anyway);
+        # - the normalising reciprocal is folded into the (…, dh) attention
+        #   output (half the lanes of the (…, 64) probs).
         masked = (lab[:, :, None] != lab[:, None, :]) | (lab[:, None, :] == -1)
         outs = []
         for hd in range(num_heads):
@@ -254,13 +303,12 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                 logits = logits * scale
             logits = logits + bias_ref[hd][None]
             logits = jnp.where(masked, NEG, logits)
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits - m)
-            # per-row reciprocal, not an elementwise (.., p, p) divide
-            probs = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
-            outs.append(jax.lax.dot_general(
-                probs.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32).astype(o_ref.dtype))
+            e = jnp.exp(logits - 30.0)
+            r = 1.0 / (jnp.sum(e, axis=-1, keepdims=True) + 1e-30)
+            pv = jax.lax.dot_general(
+                e.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            outs.append((pv * r).astype(o_ref.dtype))
         attn = jnp.concatenate(outs, axis=-1)
     # attn: (ipg·ns·nw, 64, C)
 
@@ -269,31 +317,6 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     # the per-token projection — proj M drops from nwin·64 padded slots to
     # ipg·Hb·W (the zero rows it re-introduces land at rows ≥ H, which the
     # caller crops, so the missing +bo there is invisible).
-    def _unshift(y):
-        if o:
-            # undo the offset-window shift: canvas (row, col) lives at strip
-            # position (row + o, col + o)
-            y = y[:, o:]
-            y = jnp.concatenate(
-                [y[o:], jnp.zeros((o, y.shape[1], c), y.dtype)], axis=0)
-        return y[:, :W]
-
-    def inverse_cm(toks):
-        y = jnp.moveaxis(toks.reshape(ns, nw, PW, PW, c), 0, 2)  # (nw, 8, ns, 8, C)
-        y = y[:, :win].reshape(wc, ns * PW, c)
-        y = jnp.swapaxes(y, 0, 1)                                # (ns·8, Wc, C)
-        y = y.reshape(ns, PW, wc, c)[:, :win].reshape(ns * win, wc, c)
-        return _unshift(y)
-
-    def inverse_rm(toks):
-        y = toks.reshape(ns, nw, PW, PW, c)
-        y = y.transpose(0, 2, 1, 3, 4)                           # (ns, 8, nw, 8, C)
-        y = y[:, :win, :, :win]                                  # drop 7→8 pads
-        y = y.reshape(ns * win, nw * win, c)
-        return _unshift(y)
-
-    inverse = inverse_rm if rowmajor else inverse_cm
-
     npi = ns * nw  # windows per image
     comp = (inverse(attn) if ipg == 1 else jnp.concatenate(
         [inverse(attn[i * npi:(i + 1) * npi]) for i in range(ipg)], axis=0))
@@ -378,6 +401,239 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
     return out[:, :h]
 
 
+def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                       wo_ref, bias_ref, g_ref,
+                       dx_ref, dlnw_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
+                       dwo_ref, dbo_ref, dbias_ref,
+                       num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
+                       ns, nw, wc, residual=True, rowmajor=False):
+    """Canvas-direct backward: flash-style in-VMEM forward recompute + the
+    full backward chain, reading the raw (ipg, Hb, W, C) canvas and upstream
+    gradient — no XLA pad/roll/partition/reverse on either side.  The layout
+    maps are exact adjoints of each other (transform places every canvas
+    position in exactly one window slot; inverse drops the pads), so
+    d(inverse) = transform and d(transform) = inverse.  Weight/bias grads
+    accumulate across grid steps in f32 (init at step 0).  Unlike the fwd
+    kernel, ``scale`` is applied explicitly (weights arrive UNfolded so the
+    emitted dwqkv/dbqkv match the caller's parameters directly)."""
+    from lc2is_tpu.ops.window_attention import _ln_bwd
+
+    i = pl.program_id(0)
+    hb_rows = ns * win
+    ipg = x_ref.shape[0]
+    c = x_ref.shape[-1]
+    dh = c // num_heads
+    rows = ipg * hb_rows * W
+
+    @pl.when(i == 0)
+    def _():
+        dlnw_ref[...] = jnp.zeros_like(dlnw_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    transform, inverse = _make_layout(ns, nw, win, o, W, wc, rowmajor)
+    dt = dx_ref.dtype
+
+    # ---- forward recompute: LN → window tokens → qkv ----
+    X4 = x_ref[...].astype(jnp.float32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, W), 0)
+    # rows ≥ H of the block are uninitialised garbage; zero them BEFORE the
+    # LN stats — the backward sums dw_rows = dy·x̂ over every row, and
+    # 0·NaN from a garbage row would poison the whole weight-grad sum
+    X4 = jnp.where(rr[None, :, :, None] >= H, 0.0, X4)
+    x2 = X4.reshape(rows, c)
+    lnw = lnw_ref[...].astype(jnp.float32)
+    lnb = lnb_ref[...].astype(jnp.float32)
+    mean = x2.mean(axis=-1, keepdims=True)
+    var = ((x2 - mean) ** 2).mean(axis=-1, keepdims=True)
+    hn = (x2 - mean) * jax.lax.rsqrt(var + eps) * lnw + lnb
+    h4 = hn.reshape(ipg, hb_rows, W, c)
+    h4 = jnp.where(rr[None, :, :, None] >= H, 0.0, h4).astype(dt)
+
+    nwin = ipg * ns * nw
+    npi = ns * nw
+    if ipg == 1:
+        hw = transform(h4[0])
+    else:
+        hw = jnp.concatenate([transform(h4[i_]) for i_ in range(ipg)], axis=0)
+    hw2 = hw.reshape(nwin * PW * PW, c)
+    qkv2 = jax.lax.dot_general(hw2, wqkv_ref[...], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    qkv = (qkv2 + bqkv_ref[...].astype(jnp.float32)).astype(dt).reshape(
+        nwin, PW * PW, 3 * c)
+    lab = _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp,
+                      npi, nwin, nwin, 1, rowmajor=rowmajor)
+    masked = (lab[:, :, None] != lab[:, None, :]) | (lab[:, None, :] == -1)
+
+    # ---- out-proj backward (compact): proj = comp@Woᵀ + bo ----
+    gout = g_ref[...].astype(jnp.float32).reshape(rows, c)
+    dcomp2 = jax.lax.dot_general(gout.astype(dt), wo_ref[...],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dcomp4 = dcomp2.astype(dt).reshape(ipg, hb_rows, W, c)
+    # d(inverse) = transform: scatter the compact grad back to window slots
+    if ipg == 1:
+        dattn = transform(dcomp4[0])
+    else:
+        dattn = jnp.concatenate([transform(dcomp4[i_]) for i_ in range(ipg)],
+                                axis=0)
+
+    # ---- per-head attention fwd recompute + backward ----
+    att_parts, dqs, dks, dvs = [], [], [], []
+    for hd in range(num_heads):
+        qh = qkv[:, :, hd * dh:(hd + 1) * dh]
+        kh = qkv[:, :, c + hd * dh: c + (hd + 1) * dh]
+        vh = qkv[:, :, 2 * c + hd * dh: 2 * c + (hd + 1) * dh]
+        logits = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+        logits = logits * scale + bias_ref[hd][None]
+        logits = jnp.where(masked, NEG, logits)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        probs = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+        pb = probs.astype(dt)
+        att_parts.append(jax.lax.dot_general(
+            pb, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dt))
+
+        dah = dattn[:, :, hd * dh:(hd + 1) * dh]
+        dprobs = jax.lax.dot_general(dah, vh, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+        dvh = jax.lax.dot_general(pb, dah, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dlog = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True))
+        dbias_ref[hd] += jnp.sum(dlog, axis=0).astype(dbias_ref.dtype)
+        dlogb = (dlog * scale).astype(dt)
+        dqs.append(jax.lax.dot_general(dlogb, kh, (((2,), (1,)), ((0,), (0,))),
+                                       preferred_element_type=jnp.float32))
+        dks.append(jax.lax.dot_general(dlogb, qh, (((1,), (1,)), ((0,), (0,))),
+                                       preferred_element_type=jnp.float32))
+        dvs.append(dvh)
+
+    # dWo += goutᵀ @ comp (comp = inverse(attn), recomputed); dbo += Σ gout
+    attn = jnp.concatenate(att_parts, axis=-1)
+    comp = (inverse(attn) if ipg == 1 else jnp.concatenate(
+        [inverse(attn[i_ * npi:(i_ + 1) * npi]) for i_ in range(ipg)], axis=0))
+    dwo_ref[...] += jax.lax.dot_general(
+        gout.astype(dt), comp.reshape(rows, c), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dwo_ref.dtype)
+    dbo_ref[...] += jnp.sum(gout, axis=0, keepdims=True).astype(dbo_ref.dtype)
+
+    # ---- qkv backward ----
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (nwin, 64, 3C) f32
+    dqkv2 = dqkv.reshape(nwin * PW * PW, 3 * c)
+    dbqkv_ref[...] += jnp.sum(dqkv2, axis=0, keepdims=True).astype(dbqkv_ref.dtype)
+    dqkv2b = dqkv2.astype(dt)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        dqkv2b, hw2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dwqkv_ref.dtype)
+    dhw = jax.lax.dot_general(dqkv2b, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dhw = dhw.astype(dt).reshape(nwin, PW * PW, c)
+    # d(transform) = inverse: gather window-slot grads back to the canvas
+    dh4 = (inverse(dhw) if ipg == 1 else jnp.concatenate(
+        [inverse(dhw[i_ * npi:(i_ + 1) * npi]) for i_ in range(ipg)], axis=0))
+    dhf = dh4.astype(jnp.float32).reshape(ipg, hb_rows, W, c)
+    # adjoint of the post-LN zeroing at HF-pad rows (rows ≥ H)
+    dhf = jnp.where(rr[None, :, :, None] >= H, 0.0, dhf).reshape(rows, c)
+
+    dx_ln, dw_rows, db_rows = _ln_bwd(dhf, x2, lnw, eps)
+    dlnw_ref[...] += jnp.sum(dw_rows, axis=0, keepdims=True).astype(dlnw_ref.dtype)
+    dlnb_ref[...] += jnp.sum(db_rows, axis=0, keepdims=True).astype(dlnb_ref.dtype)
+    dx = dx_ln + (gout if residual else 0.0)
+    dx_ref[...] = dx.reshape(ipg, hb_rows, W, c).astype(dx_ref.dtype)
+
+
+def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
+                       win, shift, eps, interpret, residual, rowmajor):
+    """pallas_call driver for _canvas_bwd_kernel.  ``g`` is the upstream
+    gradient at the PUBLIC (B, H, W, C) shape — re-padded here to the
+    kernel's strip rows (the crop's adjoint).  Returns grads for
+    (x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias) with bias in KERNEL token
+    order (the caller unpermutes)."""
+    b, h, w, c = x.shape
+    o, hp, wp, ns, nw = _geom(h, w, win, shift)
+    wc = nw * win
+    hb_rows = ns * win
+    wdt = x.dtype
+    dh = c // num_heads
+
+    g_pad = jnp.pad(g, ((0, 0), (0, hb_rows - h), (0, 0), (0, 0)))
+    bias_p = permute_bias(bias, win, rowmajor)
+
+    import os as _os
+
+    # the backward holds ~2× the forward's intermediates (grads mirror
+    # activations): half the images per grid step
+    budget = int(_os.environ.get("LC2IS_CANVAS_IPG_MB", "48")) * 1024 * 1024
+    per_img = 20 * hb_rows * max(wc, w) * c * 4
+    ipg = max(1, min(b, budget // max(per_img, 1)))
+    while b % ipg:
+        ipg -= 1
+
+    kw = dict(num_heads=num_heads, scale=1.0 / np.sqrt(dh), eps=eps, win=win,
+              shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc,
+              residual=residual, rowmajor=rowmajor)
+    const2 = lambda bb: (0, 0)
+    canvas_spec = pl.BlockSpec((ipg, hb_rows, w, c), lambda bb: (bb, 0, 0, 0))
+    in_specs = [
+        canvas_spec,
+        pl.BlockSpec((1, c), const2),
+        pl.BlockSpec((1, c), const2),
+        pl.BlockSpec((3 * c, c), const2),
+        pl.BlockSpec((1, 3 * c), const2),
+        pl.BlockSpec((c, c), const2),
+        pl.BlockSpec((num_heads, PW * PW, PW * PW), lambda bb: (0, 0, 0)),
+        canvas_spec,
+    ]
+    out_specs = [
+        canvas_spec,
+        pl.BlockSpec((1, c), const2),
+        pl.BlockSpec((1, c), const2),
+        pl.BlockSpec((3 * c, c), const2),
+        pl.BlockSpec((1, 3 * c), const2),
+        pl.BlockSpec((c, c), const2),
+        pl.BlockSpec((1, c), const2),
+        pl.BlockSpec((num_heads, PW * PW, PW * PW), lambda bb: (0, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, hb_rows, w, c), wdt),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((3 * c, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
+        jax.ShapeDtypeStruct((c, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((num_heads, PW * PW, PW * PW), jnp.float32),
+    ]
+    args = [x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
+            wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt),
+            wo.astype(wdt), bias_p, g_pad.astype(wdt)]
+    outs = pl.pallas_call(
+        functools.partial(_canvas_bwd_kernel, **kw),
+        grid=(b // ipg,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    dx, dlnw, dlnb, dwqkv, dbqkv, dwo, dbo, dbias_p = outs
+
+    # unpermute dbias from kernel token order back to standard r·win + c
+    idx = jnp.asarray(_token_perm(win, rowmajor))  # kernel t → standard rc
+    std = jnp.zeros((num_heads, win * win, win * win), jnp.float32)
+    std = std.at[:, idx[:, None], idx[None, :]].add(dbias_p)
+    # slot 0 also receives every padded slot's (zero) grad via idx=0 — the
+    # adds are zero, so the scatter-add is exact
+    return (dx[:, :h], dlnw.reshape(-1), dlnb.reshape(-1), dwqkv,
+            dbqkv.reshape(-1), dwo, dbo.reshape(-1), std)
+
+
 def _xla_canvas_reference(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
                           win, shift, eps):
     """HF-semantics reference through the windowed path (defines the VJP)."""
@@ -449,10 +705,23 @@ def _canvas_fwd(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias,
 
 
 def _canvas_bwd(num_heads, win, shift, eps, interpret, residual, res, g):
-    """Windowed-layout reconstruction + the fused block's Pallas backward
-    (see _pallas_windowed_reference) — training cost matches the windowed
-    fused path instead of the unfused XLA recompute."""
+    """Default: the canvas-direct Pallas backward (_canvas_bwd_kernel) —
+    in-VMEM forward recompute + full backward chain straight on the raw
+    canvas, no XLA pad/roll/partition/reverse on either side.
+    LC2IS_CANVAS_BWD=windowed falls back to the windowed-layout
+    reconstruction + the fused window block's Pallas backward."""
+    import os as _os
+
     x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias = res
+    if _os.environ.get("LC2IS_CANVAS_BWD", "pallas") == "pallas":
+        rowmajor = _os.environ.get("LC2IS_CANVAS_LAYOUT", "cm") == "rm"
+        dx, dlnw, dlnb, dwqkv, dbqkv, dwo, dbo, dbias = _canvas_bwd_pallas(
+            x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads, win, shift,
+            eps, interpret, residual, rowmajor)
+        return (dx.astype(x.dtype), dlnw.astype(ln_w.dtype),
+                dlnb.astype(ln_b.dtype), dwqkv.astype(wqkv.dtype),
+                dbqkv.astype(bqkv.dtype), dwo.astype(wo.dtype),
+                dbo.astype(bo.dtype), dbias.astype(bias.dtype))
     _, vjp = jax.vjp(
         lambda x_, lw, lb, wq, bq, wo_, bo_, bi: _pallas_windowed_reference(
             x_, lw, lb, wq, bq, wo_, bo_, bi, num_heads, win, shift, eps,

@@ -62,6 +62,8 @@ def build(part):
             kw = dict(depths=(2, 2, 2, 2))
         if part == "swin_stage12":
             kw = dict(depths=(2, 2, 0, 0))
+        if part == "swin_stage1":
+            kw = dict(depths=(2, 0, 0, 0))
         if part == "swin_embed":
             kw = dict(depths=(0, 0, 0, 0))
         if part == "swin_xla":

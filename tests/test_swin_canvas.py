@@ -50,17 +50,51 @@ def test_canvas_kernel_parity(h, w, c, heads, win, shift, layout, monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("bwd", ["pallas", "windowed"])
+@pytest.mark.parametrize("layout", ["cm", "rm"])
 @pytest.mark.parametrize("shift", [0, 3])
-def test_canvas_kernel_grad(shift):
-    """VJP (windowed reconstruction) vs direct autodiff of the reference."""
-    x, lw, lb, wqkv, bqkv, wo, bo, bias = _mk(1, 18, 18, 32, 2, 7, seed=3)
-    g1 = jax.grad(lambda v: swin_canvas_block(
-        v, lw, lb, wqkv, bqkv, wo, bo, bias, 2, 7, shift,
-        interpret=True).sum())(x)
-    g2 = jax.grad(lambda v: _xla_canvas_reference(
-        v, lw, lb, wqkv, bqkv, wo, bo, bias, 2, 7, shift, 1e-5).sum())(x)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
-                               rtol=1e-4, atol=1e-4)
+def test_canvas_kernel_grad(shift, layout, bwd, monkeypatch):
+    """Canvas VJP (Pallas canvas-direct backward, and the windowed
+    reconstruction fallback) vs direct autodiff of the XLA reference —
+    EVERY gradient: x, LN, packed qkv, out-proj, relative-position bias.
+    A tiny IPG budget forces 2 grid steps so the cross-step f32 weight-grad
+    accumulation (init at step 0) is exercised."""
+    monkeypatch.setenv("LC2IS_CANVAS_LAYOUT", layout)
+    monkeypatch.setenv("LC2IS_CANVAS_BWD", bwd)
+    monkeypatch.setenv("LC2IS_CANVAS_IPG_MB", "1")
+    args = _mk(2, 18, 18, 32, 2, 7, seed=3)
+
+    def weigh(out):  # non-uniform cotangent: catches transposed grads
+        w = jnp.arange(out.size, dtype=out.dtype).reshape(out.shape) * 1e-3
+        return (out * w).sum()
+
+    g1 = jax.grad(lambda *a: weigh(swin_canvas_block(
+        *a, 2, 7, shift, interpret=True)), argnums=tuple(range(8)))(*args)
+    g2 = jax.grad(lambda *a: weigh(_xla_canvas_reference(
+        *a, 2, 7, shift, 1e-5)), argnums=tuple(range(8)))(*args)
+    for got, want in zip(g1, g2):
+        w = np.asarray(want)
+        # atol scales with the grad magnitude (the indexed cotangent makes
+        # weight grads O(1e3); a fixed 2e-4 atol is below f32 noise there)
+        np.testing.assert_allclose(np.asarray(got), w, rtol=2e-4,
+                                   atol=2e-4 * max(1.0, float(np.abs(w).max())))
+
+
+def test_canvas_kernel_grad_noresidual():
+    """Drop-path training shape: residual=False branch-only output."""
+    import os
+
+    os.environ["LC2IS_CANVAS_BWD"] = "pallas"
+    try:
+        args = _mk(1, 14, 14, 32, 2, 7, seed=5)
+        g1 = jax.grad(lambda v: swin_canvas_block(
+            v, *args[1:], 2, 7, 3, interpret=True, residual=False).sum())(args[0])
+        ref = jax.grad(lambda v: (_xla_canvas_reference(
+            v, *args[1:], 2, 7, 3, 1e-5) - v).sum())(args[0])
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+    finally:
+        os.environ.pop("LC2IS_CANVAS_BWD", None)
 
 
 def test_canvas_matches_hf_swin_layer():
