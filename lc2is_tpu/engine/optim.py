@@ -56,11 +56,13 @@ def make_optimizer(
         chain.append(optax.clip_by_global_norm(grad_clip))
     chain.append(optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay))
     tx = optax.chain(*chain)
-    # one fused update over a single raveled vector instead of ~700 per-leaf
-    # kernels (measured v5e: the AdamW step alone was 14.5 ms / 5.6 GB of a
-    # 137 ms train step).  Requires a uniform param dtype (ravel+concat).
+    # optax.flatten (one update over a raveled vector) was measured a 2.4×
+    # LOSS on v5e (optstep 14.5 ms / 5.6 GB → 35.4 ms / 23.5 GB at the
+    # flagship tree): the ravel/unravel copies and the flat re-concat each
+    # step cost far more than the per-leaf kernel overhead they remove.
+    # Off by default; LC2IS_FLAT_OPT=1 re-enables for experimentation.
     dtypes = {l.dtype for l in jax.tree_util.tree_leaves(params)}
-    if len(dtypes) == 1 and os.environ.get("LC2IS_FLAT_OPT", "1") != "0":
+    if len(dtypes) == 1 and os.environ.get("LC2IS_FLAT_OPT", "0") == "1":
         tx = optax.flatten(tx)
     if frozen_prefixes:
         mask = frozen_mask(params, frozen_prefixes)
