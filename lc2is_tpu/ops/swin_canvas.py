@@ -508,11 +508,17 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         dlog = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True))
         dbias_ref[hd] += jnp.sum(dlog, axis=0).astype(dbias_ref.dtype)
         dlogb = (dlog * scale).astype(dt)
-        dqs.append(jax.lax.dot_general(dlogb, kh, (((2,), (1,)), ((0,), (0,))),
-                                       preferred_element_type=jnp.float32))
-        dks.append(jax.lax.dot_general(dlogb, qh, (((1,), (1,)), ((0,), (0,))),
-                                       preferred_element_type=jnp.float32))
-        dvs.append(dvh)
+        # per-head grads held in the compute dtype: the concatenated
+        # (nwin, 64, 3C) dqkv is the kernel's fattest tensor, and both its
+        # consumers (dwqkv matmul, dhw matmul) cast to dt anyway — only the
+        # dbqkv row-sum runs on (f32-accumulated) dt values
+        dqs.append(jax.lax.dot_general(
+            dlogb, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dt))
+        dks.append(jax.lax.dot_general(
+            dlogb, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dt))
+        dvs.append(dvh.astype(dt))
 
     # dWo += goutᵀ @ comp (comp = inverse(attn), recomputed); dbo += Σ gout
     attn = jnp.concatenate(att_parts, axis=-1)
@@ -525,9 +531,10 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
     # ---- qkv backward ----
     dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (nwin, 64, 3C) f32
-    dqkv2 = dqkv.reshape(nwin * PW * PW, 3 * c)
-    dbqkv_ref[...] += jnp.sum(dqkv2, axis=0, keepdims=True).astype(dbqkv_ref.dtype)
-    dqkv2b = dqkv2.astype(dt)
+    dqkv2b = dqkv.reshape(nwin * PW * PW, 3 * c)  # compute dtype
+    dbqkv_ref[...] += jnp.sum(
+        dqkv2b.astype(jnp.float32), axis=0, keepdims=True
+    ).astype(dbqkv_ref.dtype)
     dwqkv_ref[...] += jax.lax.dot_general(
         dqkv2b, hw2, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dwqkv_ref.dtype)
@@ -570,7 +577,7 @@ def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
     # the backward holds ~2× the forward's intermediates (grads mirror
     # activations): half the images per grid step
     budget = int(_os.environ.get("LC2IS_CANVAS_IPG_MB", "48")) * 1024 * 1024
-    per_img = 20 * hb_rows * max(wc, w) * c * 4
+    per_img = 14 * hb_rows * max(wc, w) * c * 4
     ipg = max(1, min(b, budget // max(per_img, 1)))
     while b % ipg:
         ipg -= 1
