@@ -22,6 +22,8 @@ TPU-native layout — with spatial reshapes only at conv/resize boundaries.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Callable, Optional
 
 import flax.linen as nn
@@ -73,6 +75,44 @@ class LayerNorm(nn.Module):
         return (y * w + b).astype(x.dtype)
 
 
+def _s2d_matmul(x, w, k):
+    """stride==kernel conv as space-to-depth + matmul (exact reassociation
+    of the dot): pure MXU fwd AND vjp (no XLA conv/conv-transpose)."""
+    b_, h, wd, c = x.shape
+    oh, ow = h // k, wd // k
+    p = x[:, : oh * k, : ow * k].reshape(b_, oh, k, ow, k, c)
+    p = p.transpose(0, 1, 3, 2, 4, 5).reshape(b_, oh, ow, k * k * c)
+    # (O, I, ky, kx) -> (ky·kx·I, O) in the patch vector's order
+    wm = w.transpose(2, 3, 1, 0).reshape(k * k * c, w.shape[0])
+    return p @ wm.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_sk_smallc(x, w, k):
+    """Small-C stride==kernel conv: lax.conv FORWARD (the space-to-depth
+    intermediate at C=3 tile-pads 3 lanes → 128, ~40× write amplification —
+    measured embed chain 2.23 ms s2d vs 1.5 ms conv) with the SPACE-TO-DEPTH
+    backward (XLA's conv-transpose data-grad at C=3 is far slower than the
+    s2d matmul adjoints — measured bench_train 58.6 → 49.9 img/s when the
+    embeds went conv both ways)."""
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(k, k), padding="VALID",
+        dimension_numbers=("NHWC", "OIHW", "NHWC"))
+
+
+def _conv_sk_smallc_fwd(x, w, k):
+    return _conv_sk_smallc(x, w, k), (x, w)
+
+
+def _conv_sk_smallc_bwd(k, res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda xx, ww: _s2d_matmul(xx, ww, k), x, w)
+    return vjp(g)
+
+
+_conv_sk_smallc.defvjp(_conv_sk_smallc_fwd, _conv_sk_smallc_bwd)
+
+
 class Conv2d(nn.Module):
     """Strided conv on NHWC input with torch-layout (O, I, kh, kw) weights.
 
@@ -93,24 +133,12 @@ class Conv2d(nn.Module):
         in_channels = x.shape[-1]
         k = self.kernel_size
         w = self.param("weight", tinit.torch_conv_weight, (self.out_channels, in_channels, k, k), self.param_dtype)
-        # space-to-depth materialises a (..., k, C) intermediate; for tiny C
-        # (patch embeds: C=3) the C-lane dim tile-pads to 128 — up to ~40×
-        # HBM write amplification.  Measured v5e 512²/b16 embed chain:
-        # s2d 2.23 ms vs lax.conv 1.5 ms at C=3, while SR reduces (C≥512)
-        # win with s2d — default cutover at 4.
         s2d_minc = int(_os.environ.get("LC2IS_S2D_MINC", "4"))
         if self.stride == k and in_channels >= s2d_minc:
-            # every use here is stride==kernel (patch embed, SR reduce), which
-            # is exactly space-to-depth + matmul: identical math, and BOTH the
-            # forward and the VJP become plain MXU matmuls instead of XLA
-            # conv / conv-transpose kernels
-            b_, h, wd, c = x.shape
-            oh, ow = h // k, wd // k
-            p = x[:, : oh * k, : ow * k].reshape(b_, oh, k, ow, k, c)
-            p = p.transpose(0, 1, 3, 2, 4, 5).reshape(b_, oh, ow, k * k * c)
-            # (O, I, ky, kx) -> (ky·kx·I, O) in the patch vector's order
-            wm = w.transpose(2, 3, 1, 0).reshape(k * k * c, self.out_channels)
-            y = p @ wm.astype(x.dtype)
+            y = _s2d_matmul(x, w, k)
+        elif self.stride == k:
+            # small C: conv fwd + s2d bwd hybrid (see _conv_sk_smallc)
+            y = _conv_sk_smallc(x, w.astype(x.dtype), k)
         else:
             y = jax.lax.conv_general_dilated(
                 x,

@@ -521,6 +521,8 @@ class SwinPatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, pixel_values):  # (B, 3, H, W)
+        import os as _os
+
         p = self.patch_size
         w = self.param("projection", tinit.torch_conv_weight, (self.embed_dim, 3, p, p), self.param_dtype)
         b_ = self.param("projection_bias", tinit.torch_linear_bias(3 * p * p), (self.embed_dim,), self.param_dtype)
@@ -530,10 +532,19 @@ class SwinPatchEmbed(nn.Module):
         pad_w = (p - ww % p) % p
         if pad_h or pad_w:
             x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        # stride==kernel conv as space-to-depth + matmul (same math, pure
-        # MXU in forward AND backward — no conv-transpose in the VJP)
         bsz, hh, www, cin = x.shape
         oh, ow = hh // p, www // p
+        if cin < int(_os.environ.get("LC2IS_S2D_MINC", "4")):
+            # small C: lax.conv forward (the s2d intermediate at C=3
+            # tile-pads 3 lanes → 128) + space-to-depth backward (XLA's
+            # conv-transpose data-grad is the slow direction)
+            from lc2is_tpu.nn.layers import _conv_sk_smallc
+
+            y = _conv_sk_smallc(x, w.astype(x.dtype), p)
+            y = y.reshape(bsz, oh * ow, self.embed_dim) + b_.astype(x.dtype)
+            return y, (oh, ow)
+        # stride==kernel conv as space-to-depth + matmul (same math, pure
+        # MXU in forward AND backward — no conv-transpose in the VJP)
         patches = x.reshape(bsz, oh, p, ow, p, cin)
         patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, oh * ow, p * p * cin)
         wm = w.transpose(2, 3, 1, 0).reshape(p * p * cin, self.embed_dim)
