@@ -328,8 +328,11 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         proj = (proj + bo_ref[...].astype(jnp.float32)).reshape(
             ipg, hb_rows, W, c)
+    # o_ref covers exactly the H real rows — a (b, hb_rows, ·) output would
+    # force the caller into an out[:, :h] slice COPY of every canvas (~0.75
+    # GB/step across the 22 blocks at 512²/b16)
     for i in range(ipg):
-        out = proj[i] + (X4[i] if residual else 0.0)
+        out = proj[i, :H] + (X4[i, :H] if residual else 0.0)
         o_ref[i] = out.astype(o_ref.dtype)
 
 
@@ -389,16 +392,15 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
             wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt),
             wo.astype(wdt), bo.reshape(1, c).astype(wdt), bias_p]
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_canvas_kernel, **kw),
         grid=(b // ipg,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((ipg, hb_rows, w, c), lambda bb: (bb, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hb_rows, w, c), wdt),
+        out_specs=pl.BlockSpec((ipg, h, w, c), lambda bb: (bb, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), wdt),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    return out[:, :h]
 
 
 def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
@@ -470,7 +472,13 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     masked = (lab[:, :, None] != lab[:, None, :]) | (lab[:, None, :] == -1)
 
     # ---- out-proj backward (compact): proj = comp@Woᵀ + bo ----
-    gout = g_ref[...].astype(jnp.float32).reshape(rows, c)
+    # g arrives at the public (ipg, H, W, C) shape (no host-side pad copy);
+    # the crop's adjoint — zeros at rows ≥ H — is a VMEM concat
+    g4 = g_ref[...].astype(jnp.float32)
+    if hb_rows > H:
+        g4 = jnp.concatenate(
+            [g4, jnp.zeros((ipg, hb_rows - H, W, c), jnp.float32)], axis=1)
+    gout = g4.reshape(rows, c)
     dcomp2 = jax.lax.dot_general(gout.astype(dt), wo_ref[...],
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -552,16 +560,16 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     dlnw_ref[...] += jnp.sum(dw_rows, axis=0, keepdims=True).astype(dlnw_ref.dtype)
     dlnb_ref[...] += jnp.sum(db_rows, axis=0, keepdims=True).astype(dlnb_ref.dtype)
     dx = dx_ln + (gout if residual else 0.0)
-    dx_ref[...] = dx.reshape(ipg, hb_rows, W, c).astype(dx_ref.dtype)
+    # dx_ref covers exactly the H real rows (no caller-side crop copy)
+    dx_ref[...] = dx.reshape(ipg, hb_rows, W, c)[:, :H].astype(dx_ref.dtype)
 
 
 def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
                        win, shift, eps, interpret, residual, rowmajor):
-    """pallas_call driver for _canvas_bwd_kernel.  ``g`` is the upstream
-    gradient at the PUBLIC (B, H, W, C) shape — re-padded here to the
-    kernel's strip rows (the crop's adjoint).  Returns grads for
-    (x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias) with bias in KERNEL token
-    order (the caller unpermutes)."""
+    """pallas_call driver for _canvas_bwd_kernel.  ``g`` and ``dx`` stay at
+    the PUBLIC (B, H, W, C) shape — the crop's adjoint (zero rows ≥ H) is a
+    VMEM concat inside the kernel, not a host-side pad/slice copy.  Returns
+    grads for (x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias)."""
     b, h, w, c = x.shape
     o, hp, wp, ns, nw = _geom(h, w, win, shift)
     wc = nw * win
@@ -569,7 +577,6 @@ def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
     wdt = x.dtype
     dh = c // num_heads
 
-    g_pad = jnp.pad(g, ((0, 0), (0, hb_rows - h), (0, 0), (0, 0)))
     bias_p = permute_bias(bias, win, rowmajor)
 
     import os as _os
@@ -586,19 +593,20 @@ def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
               shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc,
               residual=residual, rowmajor=rowmajor)
     const2 = lambda bb: (0, 0)
-    canvas_spec = pl.BlockSpec((ipg, hb_rows, w, c), lambda bb: (bb, 0, 0, 0))
+    strip_spec = pl.BlockSpec((ipg, hb_rows, w, c), lambda bb: (bb, 0, 0, 0))
+    exact_spec = pl.BlockSpec((ipg, h, w, c), lambda bb: (bb, 0, 0, 0))
     in_specs = [
-        canvas_spec,
+        strip_spec,
         pl.BlockSpec((1, c), const2),
         pl.BlockSpec((1, c), const2),
         pl.BlockSpec((3 * c, c), const2),
         pl.BlockSpec((1, 3 * c), const2),
         pl.BlockSpec((c, c), const2),
         pl.BlockSpec((num_heads, PW * PW, PW * PW), lambda bb: (0, 0, 0)),
-        canvas_spec,
+        exact_spec,
     ]
     out_specs = [
-        canvas_spec,
+        exact_spec,
         pl.BlockSpec((1, c), const2),
         pl.BlockSpec((1, c), const2),
         pl.BlockSpec((3 * c, c), const2),
@@ -608,7 +616,7 @@ def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
         pl.BlockSpec((num_heads, PW * PW, PW * PW), lambda bb: (0, 0, 0)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((b, hb_rows, w, c), wdt),
+        jax.ShapeDtypeStruct((b, h, w, c), wdt),
         jax.ShapeDtypeStruct((1, c), jnp.float32),
         jax.ShapeDtypeStruct((1, c), jnp.float32),
         jax.ShapeDtypeStruct((3 * c, c), jnp.float32),
@@ -619,7 +627,7 @@ def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
     ]
     args = [x, ln_w.reshape(1, c).astype(wdt), ln_b.reshape(1, c).astype(wdt),
             wqkv.astype(wdt), bqkv.reshape(1, 3 * c).astype(wdt),
-            wo.astype(wdt), bias_p, g_pad.astype(wdt)]
+            wo.astype(wdt), bias_p, g.astype(wdt)]
     outs = pl.pallas_call(
         functools.partial(_canvas_bwd_kernel, **kw),
         grid=(b // ipg,),
@@ -637,7 +645,7 @@ def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
     std = std.at[:, idx[:, None], idx[None, :]].add(dbias_p)
     # slot 0 also receives every padded slot's (zero) grad via idx=0 — the
     # adds are zero, so the scatter-add is exact
-    return (dx[:, :h], dlnw.reshape(-1), dlnb.reshape(-1), dwqkv,
+    return (dx, dlnw.reshape(-1), dlnb.reshape(-1), dwqkv,
             dbqkv.reshape(-1), dwo, dbo.reshape(-1), std)
 
 
