@@ -164,19 +164,6 @@ def _make_layout(ns, nw, win, o, W, wc, rowmajor):
         cat = jnp.moveaxis(cat, 2, 0)                      # (ns, nw, 8, 8, ch) major permute
         return cat.reshape(ns * nw, PW * PW, ch)           # t = c_in·8 + r_in
 
-    def transform_rm(canvas):
-        # row-major tokens (t = r_in·8 + c_in): pads + split reshapes + ONE
-        # major-dim transpose — no sublane↔major exchange at all
-        ch, dtp = canvas.shape[-1], canvas.dtype
-        cat = _offset_pad(canvas)                          # (hb, wc, ch)
-        cat = cat.reshape(ns, win, nw, win, ch)            # rows/cols split
-        cat = jnp.concatenate(                             # pad r: win → 8
-            [cat, jnp.zeros((ns, PW - win, nw, win, ch), dtp)], axis=1)
-        cat = jnp.concatenate(                             # pad c: win → 8
-            [cat, jnp.zeros((ns, PW, nw, PW - win, ch), dtp)], axis=3)
-        cat = cat.transpose(0, 2, 1, 3, 4)                 # (ns, nw, 8, 8, ch) major permute
-        return cat.reshape(ns * nw, PW * PW, ch)           # t = r_in·8 + c_in
-
     def _unshift(y):
         ch = y.shape[-1]
         if o:
@@ -195,16 +182,12 @@ def _make_layout(ns, nw, win, o, W, wc, rowmajor):
         y = y.reshape(ns, PW, wc, ch)[:, :win].reshape(ns * win, wc, ch)
         return _unshift(y)
 
-    def inverse_rm(toks):
-        ch = toks.shape[-1]
-        y = toks.reshape(ns, nw, PW, PW, ch)
-        y = y.transpose(0, 2, 1, 3, 4)                           # (ns, 8, nw, 8, ch)
-        y = y[:, :win, :, :win]                                  # drop 7→8 pads
-        y = y.reshape(ns * win, nw * win, ch)
-        return _unshift(y)
-
-    if rowmajor:
-        return transform_rm, inverse_rm
+    # NOTE: a row-major token order (t = r·8 + c; pads + split reshapes +
+    # one major-dim transpose instead of the sublane↔major swapaxes) was
+    # built and parity-tested, but Mosaic rejects its win=7 sublane-split
+    # reshapes on the real chip — deleted (win-or-delete); `rowmajor` stays
+    # in the signatures for the bias/label plumbing.
+    assert not rowmajor, "row-major canvas layout removed (no TPU lowering)"
     return transform_cm, inverse_cm
 
 
@@ -354,10 +337,7 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
 
     import os as _os
 
-    # token order inside the kernel: row-major (t = r·8 + c) replaces the
-    # sublane↔major swapaxes/moveaxis of the column-major layout with pads +
-    # split reshapes + one major-dim transpose (A/B knob)
-    rowmajor = _os.environ.get("LC2IS_CANVAS_LAYOUT", "cm") == "rm"
+    rowmajor = False  # the row-major layout experiment had no TPU lowering
     bias_p = permute_bias(bias, win, rowmajor)
     # measurement-only kernel ablation ("layout" | "noattn"): wrong results,
     # used by scripts/probe_canvas.py to attribute in-kernel time
@@ -729,7 +709,7 @@ def _canvas_bwd(num_heads, win, shift, eps, interpret, residual, res, g):
 
     x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias = res
     if _os.environ.get("LC2IS_CANVAS_BWD", "pallas") == "pallas":
-        rowmajor = _os.environ.get("LC2IS_CANVAS_LAYOUT", "cm") == "rm"
+        rowmajor = False
         dx, dlnw, dlnb, dwqkv, dbqkv, dwo, dbo, dbias = _canvas_bwd_pallas(
             x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads, win, shift,
             eps, interpret, residual, rowmajor)

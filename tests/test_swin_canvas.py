@@ -37,10 +37,8 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("layout", ["cm", "rm"])
 @pytest.mark.parametrize("h,w,c,heads,win,shift", CASES)
-def test_canvas_kernel_parity(h, w, c, heads, win, shift, layout, monkeypatch):
-    monkeypatch.setenv("LC2IS_CANVAS_LAYOUT", layout)
+def test_canvas_kernel_parity(h, w, c, heads, win, shift):
     x, lw, lb, wqkv, bqkv, wo, bo, bias = _mk(2, h, w, c, heads, win)
     got = swin_canvas_block(x, lw, lb, wqkv, bqkv, wo, bo, bias, heads,
                             win, shift, interpret=True)
@@ -51,15 +49,13 @@ def test_canvas_kernel_parity(h, w, c, heads, win, shift, layout, monkeypatch):
 
 
 @pytest.mark.parametrize("bwd", ["pallas", "windowed"])
-@pytest.mark.parametrize("layout", ["cm", "rm"])
 @pytest.mark.parametrize("shift", [0, 3])
-def test_canvas_kernel_grad(shift, layout, bwd, monkeypatch):
+def test_canvas_kernel_grad(shift, bwd, monkeypatch):
     """Canvas VJP (Pallas canvas-direct backward, and the windowed
     reconstruction fallback) vs direct autodiff of the XLA reference —
     EVERY gradient: x, LN, packed qkv, out-proj, relative-position bias.
     A tiny IPG budget forces 2 grid steps so the cross-step f32 weight-grad
     accumulation (init at step 0) is exercised."""
-    monkeypatch.setenv("LC2IS_CANVAS_LAYOUT", layout)
     monkeypatch.setenv("LC2IS_CANVAS_BWD", bwd)
     monkeypatch.setenv("LC2IS_CANVAS_IPG_MB", "1")
     args = _mk(2, 18, 18, 32, 2, 7, seed=3)
