@@ -81,18 +81,50 @@ def main():
         return pred.astype(jnp.float32).mean() * jnp.asarray(1e-8, jnp.float32), pred
 
     eps0 = jnp.asarray(0.0, jnp.float32)
-    compiled = jax.jit(step).lower(params, pv, text_static, eps0).compile()
+
+    # ITERS steps inside ONE device program (lax.scan): the axon relay costs
+    # ~3.5 ms per call, which the per-call chain pays per STEP; scanning pays
+    # it once per measurement.  A real serving loop on local hardware has no
+    # relay, so the scanned wall time is the honest throughput.  Fallback to
+    # the round-2 per-call chain with LC2IS_BENCH_CHAIN=1.
+    use_chain = os.environ.get("LC2IS_BENCH_CHAIN", "0") == "1"
+
+    def make_multi(step_fn):
+        pred_sd = jax.eval_shape(step_fn, params, pv, text_static, eps0)[1]
+
+        def multi(p, x, ts, eps):
+            def body(carry, _):
+                e, _ = carry
+                return step_fn(p, x, ts, e), None
+
+            out, _ = jax.lax.scan(
+                body, (eps, jnp.zeros(pred_sd.shape, pred_sd.dtype)),
+                None, length=ITERS)
+            return out
+
+        return multi
+
+    if use_chain:
+        compiled = jax.jit(step).lower(params, pv, text_static, eps0).compile()
+    else:
+        compiled = jax.jit(make_multi(step)).lower(
+            params, pv, text_static, eps0).compile()
     try:
         cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops_total = float(cost.get("flops", 0.0))
+        if not use_chain:
+            flops_total /= ITERS
     except Exception:
         flops_total = 0.0
 
     def chain(comp=None):
         comp = comp or compiled
         eps = eps0
-        for _ in range(ITERS):
+        if use_chain:
+            for _ in range(ITERS):
+                eps, masks = comp(params, pv, text_static, eps)
+        else:
             eps, masks = comp(params, pv, text_static, eps)
         return float(eps), masks  # host fetch forces the dependency chain
 
@@ -119,7 +151,8 @@ def main():
                 pred = out["outputs"]
                 return pred.astype(jnp.float32).mean() * jnp.asarray(1e-8, jnp.float32), pred
 
-            compiled_q = jax.jit(step_q).lower(params, pv, text_static, eps0).compile()
+            compiled_q = jax.jit(step_q if use_chain else make_multi(step_q)).lower(
+                params, pv, text_static, eps0).compile()
             chain(compiled_q)
             t0 = time.perf_counter()
             _, masks_q = chain(compiled_q)
@@ -151,8 +184,9 @@ def main():
     tiny_chain()
     t0 = time.perf_counter()
     tiny_chain()
-    overhead = (time.perf_counter() - t0) / ITERS
-    dt_device = max(dt - overhead, 1e-9)
+    overhead = (time.perf_counter() - t0) / ITERS  # per-CALL relay cost
+    # scan mode pays one relay call per ITERS steps
+    dt_device = max(dt - (overhead if use_chain else overhead / ITERS), 1e-9)
 
     # cost analysis misses Pallas-kernel FLOPs; take the max of the live
     # number and the pinned full-XLA measurement (identical model + shape)
@@ -191,6 +225,7 @@ def main():
         "a100_eager_census_img_s": 155.2,
         "vs_census_baseline": round(img_per_s / 155.2, 3),
         "text_cached": True,
+        "timing": "chain" if use_chain else f"scan{ITERS}",
         **int8_extras,
     }))
 
