@@ -263,26 +263,41 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         lab = _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp,
                           ns * nw, nwin, nwin, 1, rowmajor=rowmajor)
 
-        # ---- batched per-head window attention with label masking ----
-        # The softmax is the stage-1/2 VPU bottleneck (ablation: attention
-        # is ~6/7 of the stage-1 kernel; logits vectors are 64-lane — half
-        # the VPU width), so two elementwise passes are shaved off:
-        # - no max-subtraction: swin logits are bounded (|qk/√dh| + bias
-        #   ≪ 50), so exp(l − 30) cannot overflow f32, and masked slots are
-        #   exp(−1e30) = 0 exactly; an all-masked (void) row would yield
-        #   0/0 → the 1e-30 guard turns it into 0s (void outputs are
-        #   dropped by the inverse layout anyway);
-        # - the normalising reciprocal is folded into the (…, dh) attention
-        #   output (half the lanes of the (…, 64) probs).
-        masked = (lab[:, :, None] != lab[:, None, :]) | (lab[:, None, :] == -1)
+        # ---- batched window attention, HEAD-PAIR packed matmuls ----
+        # (see ops/window_attention.pair_attn_fwd — halves the MXU pass
+        # count vs the per-head loop with zero extra exp/softmax work; the
+        # only overhead is the lane-masked Kbd/Vbd builds)
+        from lc2is_tpu.ops.window_attention import (pair_attn_fwd,
+                                                    pair_fwd_enabled,
+                                                    pair_masks)
+
+        use_pairs = pair_fwd_enabled(num_heads)
+        masked2 = None
         outs = []
-        for hd in range(num_heads):
+        hd = 0
+        if use_pairs:
+            lab2 = jnp.concatenate([lab, lab], axis=-1)
+            masked2 = ((lab[:, :, None] != lab2[:, None, :])
+                       | (lab2[:, None, :] == -1))
+            m0, m1, l0 = pair_masks(PW * PW, dh, dt)
+        while use_pairs and hd + 1 < num_heads:
+            qg = qkv[:, :, hd * dh:(hd + 2) * dh]
+            kg = qkv[:, :, c + hd * dh: c + (hd + 2) * dh]
+            vg = qkv[:, :, 2 * c + hd * dh: 2 * c + (hd + 2) * dh]
+            bias2 = jnp.concatenate([bias_ref[hd], bias_ref[hd + 1]], axis=-1)
+            outs.append(pair_attn_fwd(qg, kg, vg, bias2, masked2, scale,
+                                      m0, m1, l0, o_ref.dtype))
+            hd += 2
+        masked = (masked2[:, :, :PW * PW] if masked2 is not None else
+                  (lab[:, :, None] != lab[:, None, :])
+                  | (lab[:, None, :] == -1))
+        while hd < num_heads:  # tail: odd head count, or pairs disabled
             qh = qkv[:, :, hd * dh:(hd + 1) * dh]
             kh = qkv[:, :, c + hd * dh: c + (hd + 1) * dh]
             vh = qkv[:, :, 2 * c + hd * dh: 2 * c + (hd + 1) * dh]
             logits = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                          preferred_element_type=jnp.float32)
-            if scale != 1.0:  # 1.0 when the caller folded 1/√dh into wq/bq
+            if scale != 1.0:
                 logits = logits * scale
             logits = logits + bias_ref[hd][None]
             logits = jnp.where(masked, NEG, logits)
@@ -292,6 +307,7 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                 e.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
             outs.append((pv * r).astype(o_ref.dtype))
+            hd += 1
         attn = jnp.concatenate(outs, axis=-1)
     # attn: (ipg·ns·nw, 64, C)
 
@@ -470,9 +486,40 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         dattn = jnp.concatenate([transform(dcomp4[i_]) for i_ in range(ipg)],
                                 axis=0)
 
-    # ---- per-head attention fwd recompute + backward ----
+    # ---- attention fwd recompute + backward, HEAD-PAIR packed ----
+    # (ops/window_attention.pair_attn_bwd — halves the MXU pass count;
+    # per-head/pair grads held in the compute dtype: the concatenated
+    # (nwin, 64, 3C) dqkv is the kernel's fattest tensor, and both its
+    # consumers (dwqkv matmul, dhw matmul) cast to dt anyway — only the
+    # dbqkv row-sum runs on (f32-accumulated) dt values)
+    from lc2is_tpu.ops.window_attention import (pair_attn_bwd,
+                                                pair_bwd_enabled, pair_masks)
+
+    use_pairs = pair_bwd_enabled(num_heads)
+    masked2 = None
+    if use_pairs:
+        lab2 = jnp.concatenate([lab, lab], axis=-1)
+        masked2 = ((lab[:, :, None] != lab2[:, None, :])
+                   | (lab2[:, None, :] == -1))
+        pm0, pm1, pl0 = pair_masks(PW * PW, dh, dt)
     att_parts, dqs, dks, dvs = [], [], [], []
-    for hd in range(num_heads):
+    hd = 0
+    while use_pairs and hd + 1 < num_heads:
+        qg = qkv[:, :, hd * dh:(hd + 2) * dh]
+        kg = qkv[:, :, c + hd * dh: c + (hd + 2) * dh]
+        vg = qkv[:, :, 2 * c + hd * dh: 2 * c + (hd + 2) * dh]
+        dah = dattn[:, :, hd * dh:(hd + 2) * dh]
+        bias2 = jnp.concatenate([bias_ref[hd], bias_ref[hd + 1]], axis=-1)
+        att2, dqg, dkg, dvg, dbias2 = pair_attn_bwd(
+            qg, kg, vg, dah, bias2, masked2, scale, pm0, pm1, pl0, dt)
+        att_parts.append(att2)
+        dbias_ref[hd] += dbias2[:, :PW * PW].astype(dbias_ref.dtype)
+        dbias_ref[hd + 1] += dbias2[:, PW * PW:].astype(dbias_ref.dtype)
+        dqs.append(dqg.astype(dt))
+        dks.append(dkg.astype(dt))
+        dvs.append(dvg.astype(dt))
+        hd += 2
+    while hd < num_heads:  # tail: odd head count, or pairs disabled
         qh = qkv[:, :, hd * dh:(hd + 1) * dh]
         kh = qkv[:, :, c + hd * dh: c + (hd + 1) * dh]
         vh = qkv[:, :, 2 * c + hd * dh: 2 * c + (hd + 1) * dh]
@@ -480,9 +527,8 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                                      preferred_element_type=jnp.float32)
         logits = logits * scale + bias_ref[hd][None]
         logits = jnp.where(masked, NEG, logits)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        probs = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+        e = jnp.exp(logits - 30.0)
+        probs = e * (1.0 / (jnp.sum(e, axis=-1, keepdims=True) + 1e-30))
         pb = probs.astype(dt)
         att_parts.append(jax.lax.dot_general(
             pb, vh, (((2,), (1,)), ((0,), (0,))),
@@ -496,10 +542,6 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         dlog = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True))
         dbias_ref[hd] += jnp.sum(dlog, axis=0).astype(dbias_ref.dtype)
         dlogb = (dlog * scale).astype(dt)
-        # per-head grads held in the compute dtype: the concatenated
-        # (nwin, 64, 3C) dqkv is the kernel's fattest tensor, and both its
-        # consumers (dwqkv matmul, dhw matmul) cast to dt anyway — only the
-        # dbqkv row-sum runs on (f32-accumulated) dt values
         dqs.append(jax.lax.dot_general(
             dlogb, kh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(dt))
@@ -507,6 +549,7 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
             dlogb, qh, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(dt))
         dvs.append(dvh.astype(dt))
+        hd += 1
 
     # dWo += goutᵀ @ comp (comp = inverse(attn), recomputed); dbo += Σ gout
     attn = jnp.concatenate(att_parts, axis=-1)

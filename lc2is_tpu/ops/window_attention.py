@@ -30,6 +30,137 @@ from jax.experimental import pallas as pl
 NEG = -1e30
 
 
+# ---------------------------------------------------------------------------
+# Head-PAIR packed window attention (shared by the fused window/canvas
+# kernels, fwd + bwd).  The per-head (p, dh)·(dh, p) matmuls are MXU-PASS
+# bound: each batched instance streams p=64 rows regardless of how little of
+# the 128-wide K/N the operands fill, so attention cost = windows·heads·2
+# passes (measured ~55 ns/pass on v5e; in-kernel ablation: attention is ~6/7
+# of the stage-1 canvas kernel).  Packing TWO heads per matmul halves the
+# pass count with ZERO extra exp/softmax work (a window-pair packing variant
+# was measured a loss — it doubled the logits and softmax):
+#
+#   logits2 = Qg (p, 2dh) · Kbd (2p, 2dh)ᵀ — Kbd stacks the pair's keys
+#   twice along sublanes, each copy lane-masked to one head's dh lanes, so
+#   column i·p+k contracts ONLY head i's lanes (Q needs no masking: the
+#   zeroed K lanes kill the cross terms);
+#   pv2 = E (p, 2p) · Vbd (2p, 2dh) — Vbd same trick: rows i·p+k carry head
+#   i's values in head i's lanes, zeros elsewhere.
+#
+# Softmax normalisation is per-head SEGMENTED: s0 over lanes < p (one masked
+# sum), s1 = total − s0.  No max-subtraction: swin logits are bounded
+# (|qk/√dh| + bias ≪ 100 for LN'd inputs; f32 exp overflows only past ~115),
+# so exp(l − 30) cannot overflow, and masked slots are exp(−1e30) = 0
+# exactly; an all-masked row yields 0/0 → the 1e-30 guard turns it into 0s
+# (such rows are pad/void tokens the callers crop).
+# ---------------------------------------------------------------------------
+
+
+def pair_fwd_enabled(num_heads: int) -> bool:
+    """Trace-time gate for head-pair packing in the forward kernels
+    (LC2IS_PAIR_FWD, default on; measured +~2.5% headline at 512²/b16)."""
+    import os as _os
+
+    return num_heads >= 2 and _os.environ.get("LC2IS_PAIR_FWD", "1") != "0"
+
+
+def pair_bwd_enabled(num_heads: int) -> bool:
+    """Trace-time gate for head-pair packing in the backward kernels
+    (LC2IS_PAIR_BWD; default OFF — measured a training-step LOSS: 140.9 →
+    184.9 ms at 512²/b8.  The bwd pair adds full-width VPU blends (rseg,
+    tseg) on top of the probs materialisation, and the backward is
+    VPU-heavier than the forward to begin with)."""
+    import os as _os
+
+    return num_heads >= 2 and _os.environ.get("LC2IS_PAIR_BWD", "0") != "0"
+
+
+def pair_masks(p, dh, dt):
+    """(m0, m1, l0) lane masks for the pair helpers: m0/m1 select each
+    head's dh lanes (compute dtype); l0 selects the first head's p logit
+    lanes (f32)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * dh), 2)
+    m0 = (lane < dh).astype(dt)
+    m1 = (lane >= dh).astype(dt)
+    l0 = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * p), 2) < p).astype(
+        jnp.float32)
+    return m0, m1, l0
+
+
+def pair_attn_fwd(qg, kg, vg, bias2, mask2, scale, m0, m1, l0, out_dtype):
+    """One head-pair's window attention: qg/kg/vg (G, p, 2dh), bias2
+    (p, 2p) f32 lane-concat of the pair's biases, mask2 (G, p, 2p) bool or
+    None.  Returns (G, p, 2dh) attention output in ``out_dtype``."""
+    p = qg.shape[1]
+    dh = qg.shape[-1] // 2
+    kbd = jnp.concatenate([kg * m0, kg * m1], axis=1)  # (G, 2p, 2dh)
+    vbd = jnp.concatenate([vg * m0, vg * m1], axis=1)
+    logits = jax.lax.dot_general(qg, kbd, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    if scale != 1.0:  # 1.0 when the caller folded 1/√dh into wq/bq
+        logits = logits * scale
+    logits = logits + bias2[None]
+    if mask2 is not None:
+        logits = jnp.where(mask2, NEG, logits)
+    e = jnp.exp(logits - 30.0)
+    s0 = jnp.sum(e * l0, axis=-1, keepdims=True)
+    s1 = jnp.sum(e, axis=-1, keepdims=True) - s0
+    pv = jax.lax.dot_general(e.astype(vg.dtype), vbd,
+                             (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    sh = pv.shape[:2] + (dh,)
+    r = jnp.concatenate([jnp.broadcast_to(1.0 / (s0 + 1e-30), sh),
+                         jnp.broadcast_to(1.0 / (s1 + 1e-30), sh)], axis=-1)
+    return (pv * r).astype(out_dtype)
+
+
+def pair_attn_bwd(qg, kg, vg, dah, bias2, mask2, scale, m0, m1, l0, dt):
+    """Forward-recompute + backward for one head pair.  dah (G, p, 2dh) is
+    the upstream grad of the pair's attention output.  Returns
+    (att2, dqg, dkg, dvg, dbias2): att2 in ``dt``; grads f32; dbias2
+    (p, 2p) = lane-concat of the pair's bias grads (summed over G).
+    ``m0f/m1f`` recombines the sublane-stacked dk/dv back to dense (G, p,
+    2dh) — the stacking adjoint."""
+    p = qg.shape[1]
+    kbd = jnp.concatenate([kg * m0, kg * m1], axis=1)
+    vbd = jnp.concatenate([vg * m0, vg * m1], axis=1)
+    logits = jax.lax.dot_general(qg, kbd, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        logits = logits * scale
+    logits = logits + bias2[None]
+    if mask2 is not None:
+        logits = jnp.where(mask2, NEG, logits)
+    e = jnp.exp(logits - 30.0)
+    s0 = jnp.sum(e * l0, axis=-1, keepdims=True)
+    s1 = jnp.sum(e, axis=-1, keepdims=True) - s0
+    rseg = l0 * (1.0 / (s0 + 1e-30)) + (1.0 - l0) * (1.0 / (s1 + 1e-30))
+    probs = e * rseg  # (G, p, 2p) f32, per-head normalised
+    pb = probs.astype(dt)
+    att2 = jax.lax.dot_general(pb, vbd, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32).astype(dt)
+
+    dprobs = jax.lax.dot_general(dah, vbd, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+    dvstack = jax.lax.dot_general(pb, dah, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+    m0f, m1f = m0.astype(jnp.float32), m1.astype(jnp.float32)
+    dvg = dvstack[:, :p] * m0f + dvstack[:, p:] * m1f
+    # segmented softmax backward: rowsum per head's p-lane block
+    t = dprobs * probs
+    t0 = jnp.sum(t * l0, axis=-1, keepdims=True)
+    t1 = jnp.sum(t, axis=-1, keepdims=True) - t0
+    dlog = probs * (dprobs - (l0 * t0 + (1.0 - l0) * t1))
+    dbias2 = jnp.sum(dlog, axis=0)
+    dlogb = (dlog * scale).astype(dt) if scale != 1.0 else dlog.astype(dt)
+    dqg = jax.lax.dot_general(dlogb, kbd, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    dkstack = jax.lax.dot_general(dlogb, qg, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+    dkg = dkstack[:, :p] * m0f + dkstack[:, p:] * m1f
+    return att2, dqg, dkg, dvg, dbias2
+
+
 def _kernel(q_ref, k_ref, v_ref, reg_ref, bias_ref, o_ref, *, num_heads, scale,
             masked=True):
     g, p, c = q_ref.shape
@@ -291,11 +422,27 @@ def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         ) + bqkv_ref[...].astype(jnp.float32)  # (g·p, 3C)
     qkv = qkv2.astype(x.dtype).reshape(g, p, 3 * c)
 
+    # head-PAIR packed attention (see pair_attn_fwd above): halves the MXU
+    # pass count of the per-head (p, dh)·(dh, p) batched matmuls
+    use_pairs = pair_fwd_enabled(num_heads)
+    mask2 = None
     if masked:
         reg = reg_ref[...]
-        neq = reg[:, :, None] != reg[:, None, :]
-
-    for hd in range(num_heads):
+        if use_pairs:
+            reg2 = jnp.concatenate([reg, reg], axis=-1)
+            mask2 = reg[:, :, None] != reg2[:, None, :]
+    if use_pairs:
+        m0, m1, l0 = pair_masks(p, dh, x.dtype)
+    hd = 0
+    while use_pairs and hd + 1 < num_heads:
+        qg = qkv[:, :, hd * dh:(hd + 2) * dh]
+        kg = qkv[:, :, c + hd * dh: c + (hd + 2) * dh]
+        vg = qkv[:, :, 2 * c + hd * dh: 2 * c + (hd + 2) * dh]
+        bias2 = jnp.concatenate([bias_ref[hd], bias_ref[hd + 1]], axis=-1)
+        attn_sc[:, :, hd * dh:(hd + 2) * dh] = pair_attn_fwd(
+            qg, kg, vg, bias2, mask2, scale, m0, m1, l0, attn_sc.dtype)
+        hd += 2
+    while hd < num_heads:  # tail: odd head count, or pairs disabled
         sl = slice(hd * dh, (hd + 1) * dh)
         qh = qkv[:, :, hd * dh : (hd + 1) * dh]
         kh = qkv[:, :, c + hd * dh : c + (hd + 1) * dh]
@@ -307,14 +454,16 @@ def _block_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
             logits = logits * scale
         logits = logits + bias_ref[hd][None]
         if masked:
-            logits = jnp.where(neq, NEG, logits)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        probs = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+            logits = jnp.where(mask2[:, :, :p] if mask2 is not None else
+                               (reg[:, :, None] != reg[:, None, :]),
+                               NEG, logits)
+        e = jnp.exp(logits - 30.0)
+        probs = e * (1.0 / (jnp.sum(e, axis=-1, keepdims=True) + 1e-30))
         attn_sc[:, :, sl] = jax.lax.dot_general(
             probs.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(attn_sc.dtype)
+        hd += 1
 
     if quant:
         from lc2is_tpu.ops.quant import qdot
@@ -603,9 +752,33 @@ def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
                                 preferred_element_type=jnp.float32)
     datt = datt2.astype(x.dtype).reshape(g_, p, c)
 
+    # head-PAIR packed fwd-recompute + backward (see pair_attn_bwd above)
+    use_pairs = pair_bwd_enabled(num_heads)
+    mask2 = None
+    if masked and use_pairs:
+        reg2 = jnp.concatenate([reg, reg], axis=-1)
+        mask2 = reg[:, :, None] != reg2[:, None, :]
+    if use_pairs:
+        m0, m1, l0 = pair_masks(p, dh, x.dtype)
     att_parts = []
     dqs, dks, dvs = [], [], []
-    for hd in range(num_heads):
+    hd = 0
+    while use_pairs and hd + 1 < num_heads:
+        qg = qkv[:, :, hd * dh:(hd + 2) * dh]
+        kg = qkv[:, :, c + hd * dh: c + (hd + 2) * dh]
+        vg = qkv[:, :, 2 * c + hd * dh: 2 * c + (hd + 2) * dh]
+        dah = datt[:, :, hd * dh:(hd + 2) * dh]
+        bias2 = jnp.concatenate([bias_ref[hd], bias_ref[hd + 1]], axis=-1)
+        att2, dqg, dkg, dvg, dbias2 = pair_attn_bwd(
+            qg, kg, vg, dah, bias2, mask2, scale, m0, m1, l0, x.dtype)
+        att_parts.append(att2)
+        dbias_ref[hd] += dbias2[:, :p].astype(dbias_ref.dtype)
+        dbias_ref[hd + 1] += dbias2[:, p:].astype(dbias_ref.dtype)
+        dqs.append(dqg)
+        dks.append(dkg)
+        dvs.append(dvg)
+        hd += 2
+    while hd < num_heads:  # tail: odd head count, or pairs disabled
         qh = qkv[:, :, hd * dh : (hd + 1) * dh]
         kh = qkv[:, :, c + hd * dh : c + (hd + 1) * dh]
         vh = qkv[:, :, 2 * c + hd * dh : 2 * c + (hd + 1) * dh]
@@ -614,9 +787,8 @@ def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
         logits = logits * scale + bias_ref[hd][None]
         if masked:
             logits = jnp.where(neq, NEG, logits)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        probs = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))  # (g, p, p) f32
+        e = jnp.exp(logits - 30.0)
+        probs = e * (1.0 / (jnp.sum(e, axis=-1, keepdims=True) + 1e-30))
         pb = probs.astype(x.dtype)
         att_h = jax.lax.dot_general(pb, vh, (((2,), (1,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32)
@@ -639,6 +811,7 @@ def _block_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref,
         dqs.append(dqh)
         dks.append(dkh)
         dvs.append(dvh)
+        hd += 1
 
     dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (g, p, 3C) f32
     att2 = jnp.concatenate(att_parts, axis=-1).reshape(rows, c)
