@@ -66,13 +66,13 @@ def pair_fwd_enabled(num_heads: int) -> bool:
 
 def pair_bwd_enabled(num_heads: int) -> bool:
     """Trace-time gate for head-pair packing in the backward kernels
-    (LC2IS_PAIR_BWD; default OFF — measured a training-step LOSS: 140.9 →
-    184.9 ms at 512²/b8.  The bwd pair adds full-width VPU blends (rseg,
-    tseg) on top of the probs materialisation, and the backward is
-    VPU-heavier than the forward to begin with)."""
+    (LC2IS_PAIR_BWD, default on).  A/B at 512²/b8: 136.2 ms (pairs) vs
+    138.1 (fwd-only) vs 139.5 (none); an initial 184.9 ms reading against
+    pairs was a tunnel artifact (the same window produced a 3.4 s/step
+    fluke) and did not reproduce."""
     import os as _os
 
-    return num_heads >= 2 and _os.environ.get("LC2IS_PAIR_BWD", "0") != "0"
+    return num_heads >= 2 and _os.environ.get("LC2IS_PAIR_BWD", "1") != "0"
 
 
 def pair_masks(p, dh, dt):
