@@ -140,8 +140,19 @@ def main():
     # ONLY with the accuracy bound, so the same JSON line carries the argmax
     # agreement vs the bf16 masks.  Guarded: an int8 compile failure must not
     # take down the bf16 headline.
-    int8_extras = {}
-    if os.environ.get("LC2IS_BENCH_INT8", "1") != "0":
+    #
+    # OPT-IN (LC2IS_BENCH_INT8=1): the int8 step is a second ~5-min remote
+    # compile through the axon relay, which can push the whole bench past a
+    # driver timeout; the measured result (1.064x bf16, mask agreement 0.505
+    # on random weights — at the random-init noise floor, see
+    # scripts/mask_noise_floor.py) is recorded in BASELINE.md
+    # §"int8 on v5e — measured" and summarised in the int8_measured field.
+    int8_extras = {
+        "int8_measured": {"speedup_vs_bf16": 1.064,
+                          "note": "opt-in row (LC2IS_BENCH_INT8=1); "
+                                  "see BASELINE.md 'int8 on v5e - measured'"},
+    }
+    if os.environ.get("LC2IS_BENCH_INT8", "0") != "0":
         try:
             model_q = model.clone(quant_int8=True)
 
