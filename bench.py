@@ -147,12 +147,21 @@ def main():
     # on random weights — at the random-init noise floor, see
     # scripts/mask_noise_floor.py) is recorded in BASELINE.md
     # §"int8 on v5e — measured" and summarised in the int8_measured field.
-    int8_extras = {
-        "int8_measured": {"speedup_vs_bf16": 1.064,
-                          "note": "opt-in row (LC2IS_BENCH_INT8=1); "
-                                  "see BASELINE.md 'int8 on v5e - measured'"},
-    }
-    if os.environ.get("LC2IS_BENCH_INT8", "0") != "0":
+    # The recorded int8 number is only valid for the config it was measured
+    # at; emit it ONLY when this run matches that config, and stamp the
+    # measurement provenance so it cannot silently go stale (VERDICT r3 #6 /
+    # ADVICE r3).
+    int8_extras = {}
+    if (BATCH, IMG) == (16, 512):
+        int8_extras = {
+            "int8_measured": {"speedup_vs_bf16": 1.064,
+                              "measured_at": "r3", "commit": "c5bffd4",
+                              "config": {"batch": 16, "img": 512,
+                                         "device": "TPU v5e"},
+                              "note": "opt-in live row (LC2IS_BENCH_INT8=1); "
+                                      "see BASELINE.md 'int8 on v5e - measured'"},
+        }
+    if os.environ.get("LC2IS_BENCH_INT8", "0") == "1":
         try:
             model_q = model.clone(quant_int8=True)
 
