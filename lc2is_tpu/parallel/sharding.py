@@ -8,10 +8,20 @@ GSPMD to insert all_gather/reduce_scatter on ICI.
 
 Rules (torch layout, weight = (out, in)):
 - column-parallel (shard out): attention q/k/v projections (head split),
-  MLP up-projections (linear1 / fc1 / intermediate.dense / c_fc)
+  MLP up-projections (linear1 / fc1 / intermediate.dense / c_fc), feature
+  up/entry projections (memory_proj / text_proj / linear_stage_* /
+  patch-merging reduction / aux_linear)
 - row-parallel (shard in): attention out_proj, MLP down-projections
-  (linear2 / fc2 / output.dense / c_proj)
-- everything else (norms, embeddings, biases, tables): replicated
+  (linear2 / fc2 / output.dense / c_proj), DenseCLIP attention ``.proj``
+- embed-dim sharded: ``token_embedding.weight`` (49408×512 — the largest
+  single tensor) gets P(None, model): the vocab dim stays local so the
+  ``jnp.take`` lookup is shard-local (no cross-shard gather); each device
+  holds 1/m of the feature lanes and GSPMD all-gathers the tiny
+  (K, n_ctx, width/m) activation at the next op.  Vocab-dim sharding would
+  instead turn every lookup into a masked-select + psum.
+- everything else (norms, biases, tables, indivisible dims): replicated.
+  Known replicated-by-design 2-D weights are listed in JUSTIFIED_REPLICATED
+  (census shows the reason instead of flagging them).
 """
 
 from __future__ import annotations
@@ -26,9 +36,24 @@ from lc2is_tpu.core.mesh import MODEL_AXIS
 
 _COLUMN = re.compile(
     r"(in_proj_weight|q_proj|k_proj|v_proj|q_proj_weight|k_proj_weight|v_proj_weight"
-    r"|linear1|fc1|c_fc|intermediate|query|key|value)"
+    r"|linear1|fc1|c_fc|intermediate|query|key|value"
+    r"|(self_attn|cross_attn)\.(q|k|v)\.weight$"
+    r"|memory_proj|text_proj|linear_stage|reduction|aux_linear)"
 )
-_ROW = re.compile(r"(out_proj|linear2|fc2|c_proj|output)")
+_ROW = re.compile(
+    r"(out_proj|linear2|fc2|c_proj|output|(self_attn|cross_attn)\.proj\.weight$)"
+)
+_EMBED = re.compile(r"token_embedding")
+
+# 2-D weights intentionally replicated: pattern -> one-line justification
+# (spec_census reports these as "justified" instead of "unmatched").
+JUSTIFIED_REPLICATED = {
+    re.compile(r"text_projection$"):
+        "CLIP pooled-text head: applied once per class set (K×width), "
+        "activation smaller than one collective would cost",
+    re.compile(r"(gamma|logit_scale)$"):
+        "scalar/vector modulation parameters",
+}
 
 
 def _path_str(path) -> str:
@@ -43,6 +68,8 @@ def infer_param_specs(params, mesh: Mesh) -> Dict:
     def spec(path, leaf):
         name = _path_str(path)
         if m > 1 and hasattr(leaf, "ndim") and leaf.ndim == 2 and name.endswith("weight"):
+            if _EMBED.search(name) and leaf.shape[1] % m == 0:
+                return P(None, MODEL_AXIS)  # embed-dim shard (see module doc)
             if _COLUMN.search(name) and leaf.shape[0] % m == 0:
                 return P(MODEL_AXIS, None)
             if _ROW.search(name) and leaf.shape[1] % m == 0:
@@ -55,9 +82,11 @@ def infer_param_specs(params, mesh: Mesh) -> Dict:
 def spec_census(params, mesh: Mesh) -> Dict[str, list]:
     """Which rule matched which param — makes regex drift visible instead of
     silent (mis)sharding.  Returns {"column": [...], "row": [...],
-    "replicated_2d_weight": [...]} of dotted param paths; the third bucket
-    lists 2-D ``*weight`` leaves NO rule matched (candidates for review)."""
-    census: Dict[str, list] = {"column": [], "row": [], "replicated_2d_weight": []}
+    "justified": [(name, reason), ...], "replicated_2d_weight": [...]} of
+    dotted param paths; the last bucket lists 2-D ``*weight`` leaves NO rule
+    matched and no justification covers (candidates for review)."""
+    census: Dict[str, list] = {"column": [], "row": [], "justified": [],
+                               "replicated_2d_weight": []}
     specs = infer_param_specs(params, mesh)
 
     def visit(path, leaf, spec):
@@ -67,7 +96,12 @@ def spec_census(params, mesh: Mesh) -> Dict[str, list]:
         elif spec == P(None, MODEL_AXIS):
             census["row"].append(name)
         elif hasattr(leaf, "ndim") and leaf.ndim == 2 and name.endswith("weight"):
-            census["replicated_2d_weight"].append(name)
+            for pat, why in JUSTIFIED_REPLICATED.items():
+                if pat.search(name):
+                    census["justified"].append((name, why))
+                    break
+            else:
+                census["replicated_2d_weight"].append(name)
 
     jax.tree_util.tree_map_with_path(visit, params, specs)
     return census
