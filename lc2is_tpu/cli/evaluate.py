@@ -69,12 +69,24 @@ def evaluate_sliding(engine, eval_loader, args):
 
     scales = tuple(float(s) for s in args.scales.split(","))
 
+    # serving precompute: the prompt-text embedding depends only on params
+    # (zoo._PromptFinalBase.embed_text) — compute once per checkpoint instead
+    # of once per scale per sweep; models without the method skip the cache
+    try:
+        text_static = jax.jit(
+            lambda p: engine.model.apply(p, method="embed_text"))(engine.params)
+    except Exception:
+        text_static = None
+
     # params as a jit ARGUMENT (closing over them embeds hundreds of MB of
     # constants in the compile payload — rejected by the axon relay)
     @jax.jit
-    def sweep(p, x):
+    def sweep(p, x, ts):
         def tile_forward(t):
-            out = engine.model.apply(p, {"pixel_values": t})
+            inputs = {"pixel_values": t}
+            if ts is not None:
+                inputs["text_static"] = ts
+            out = engine.model.apply(p, inputs)
             out = out if isinstance(out, dict) else dict(outputs=[o for o in out if o is not None][-1])
             return out["outputs"]
 
@@ -86,7 +98,7 @@ def evaluate_sliding(engine, eval_loader, args):
         inputs = dict(data[0]) if isinstance(data, tuple) else dict(data)
         labels = jnp.asarray(inputs.pop("label"))
         x = engine._cast({"pixel_values": inputs["pixel_values"]})["pixel_values"]
-        probs = sweep(engine.params, x)
+        probs = sweep(engine.params, x, text_static)
         miou = per_image_miou(probs.astype(jnp.float32), labels,
                               num_classes=engine.num_classes,
                               upsample_logits_to_label=False)
