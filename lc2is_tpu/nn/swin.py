@@ -407,11 +407,15 @@ class SwinPatchMerging(nn.Module):
         self.norm = LayerNorm(param_dtype=self.param_dtype)
 
     def __call__(self, x, hw: Tuple[int, int]):
+        import os as _os
+
         h, w = hw
         b, p, c = x.shape
         x = x.reshape(b, h, w, c)
         if h % 2 or w % 2:
             x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        if _os.environ.get("LC2IS_MERGE_CONV", "1") == "1":
+            return self._merge_conv(x)
         # four strided slices + concat; a reshape+transpose variant measured
         # SLOWER on v5e (embed chain 2.23 → 2.72 ms) — XLA handles the
         # stride-2 gathers better than the (…, 2, 2, C)-minor transpose
@@ -423,6 +427,51 @@ class SwinPatchMerging(nn.Module):
         x = x.reshape(b, -1, 4 * c)
         x = self.norm(x)
         return self.reduction(x)
+
+    def _merge_conv(self, x):
+        """merge + LN + reduction as ONE stride-2 2×2 conv + pooled moments.
+
+        reduction(LN(concat[x00,x10,x01,x11])) distributes over the concat:
+        with the LN affine folded into the reduction weight (Wᵢ' = diag(γᵢ)Wᵢ),
+        out[t] = rsqrt(var[t]) · (Σᵢ xᵢ[t]@Wᵢ' − mean[t]·u) + β@Wᵀ, where
+        mean/var are moments of the 4C concat (= 2×2 stride-2 sum-pools of
+        Σ_c x and Σ_c x², merged) and u = γ@Wᵀ.  The Σᵢ xᵢ[t]@Wᵢ' term IS a
+        2×2/stride-2 conv of the raw canvas — no strided slices, no 4C concat
+        canvas, no separate LN pass (the strided-gather path read the embed
+        chain at 2.17 GB HBM for ~0.4 GB of logical tensors; measured v5e
+        512²/b16: embed chain 2.19 → see STATUS).  Exact reassociation of the
+        reference math (model/encoder.py Swin consumption; HF SwinPatchMerging
+        semantics), pinned by tests/test_encoders.py::test_swin_parity and
+        test_merge_conv_parity."""
+        b, hp, wp, c = x.shape
+        wred, _ = self.reduction(jax.ShapeDtypeStruct((4 * c,), x.dtype),
+                                 return_params=True)  # (2C, 4C) torch layout
+        lnw, lnb = self.norm(jax.ShapeDtypeStruct((4 * c,), x.dtype),
+                             return_params=True)
+        wi = wred.astype(jnp.float32).T  # (4C, 2C)
+        wfold = lnw.astype(jnp.float32)[:, None] * wi
+        # concat part i (rows i·C:(i+1)·C) sits at canvas offset
+        # (dr, dc) = (i % 2, i // 2): x0=(0,0) x1=(1,0) x2=(0,1) x3=(1,1)
+        wconv = wfold.reshape(2, 2, c, 2 * c).transpose(1, 0, 2, 3)  # (dr, dc, C, 2C)
+        u = lnw.astype(jnp.float32) @ wi           # (2C,)
+        const = lnb.astype(jnp.float32) @ wi       # (2C,)
+
+        dt = x.dtype
+        y = jax.lax.conv_general_dilated(
+            x, wconv.astype(dt), window_strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)    # (B, H/2, W/2, 2C)
+        xf = x.astype(jnp.float32)
+        xsum = jnp.sum(xf, axis=-1)
+        xsq = jnp.sum(xf * xf, axis=-1)
+        pool = lambda v: jax.lax.reduce_window(
+            v, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2), "VALID")
+        n = 4.0 * c
+        mean = pool(xsum) / n
+        var = pool(xsq) / n - mean * mean
+        inv = jax.lax.rsqrt(var + self.norm.eps)
+        out = (y - mean[..., None] * u) * inv[..., None] + const
+        return out.astype(dt).reshape(b, (hp // 2) * (wp // 2), 2 * c)
 
 
 class SwinStage(nn.Module):
@@ -526,6 +575,11 @@ class SwinPatchEmbed(nn.Module):
         p = self.patch_size
         w = self.param("projection", tinit.torch_conv_weight, (self.embed_dim, 3, p, p), self.param_dtype)
         b_ = self.param("projection_bias", tinit.torch_linear_bias(3 * p * p), (self.embed_dim,), self.param_dtype)
+        # An NCHW-direct space-to-depth variant (never materialise the NHWC
+        # canvas; c-major patch order) was built and measured 4× SLOWER
+        # standalone on v5e (0.90 vs 0.22 ms at b16/512²) — the 48-wide minor
+        # dim loses to lax.conv's own layout handling.  Deleted
+        # (win-or-delete); scripts/probe_embed.py records the numbers.
         x = jnp.moveaxis(pixel_values, 1, -1)
         h, ww = x.shape[1], x.shape[2]
         pad_h = (p - h % p) % p

@@ -182,6 +182,58 @@ def _make_layout(ns, nw, win, o, W, wc, rowmajor):
         y = y.reshape(ns, PW, wc, ch)[:, :win].reshape(ns * win, wc, ch)
         return _unshift(y)
 
+    # ---- selection-MATMUL layout (LC2IS_CANVAS_MM) ----
+    # The copy/shuffle chain above traverses the canvas ~6× per direction
+    # (the layout ablate put LN+layout at 0.86 of the 1.18 ms stage-1
+    # block).  The regroup is a LINEAR map with exactly one source per
+    # target (and one target per source), so each spatial axis can be
+    # regrouped by one matmul against a static 0/1 selection matrix — MXU
+    # work (~0.09 ms/blk at stage-1 scale) instead of VPU shuffles, and the
+    # 7→8 pad + offset shift ride along for free.  Exact in any dtype
+    # (≤1 nonzero per output row, both directions — the adjoint transposes
+    # the same matrices).
+    A = ns * PW  # strip-row axis  a = i·8 + r
+    V = nw * PW  # window-col axis v = j·8 + c
+
+    def _sel(n_groups, n_src):
+        """(n_groups·8, n_src) 0/1: [g·8+k, g·win+k−o] = 1 for k < win."""
+        m = n_groups * PW
+        ai = jax.lax.broadcasted_iota(jnp.int32, (m, n_src), 0)
+        bi = jax.lax.broadcasted_iota(jnp.int32, (m, n_src), 1)
+        g, k = ai // PW, ai % PW
+        src = g * win + k - o
+        return ((k < win) & (src == bi)).astype(jnp.float32)
+
+    def transform_mm(canvas):  # (hb, W, ch) → (ns·nw, 64, ch), t = c·8+r
+        dtp = canvas.dtype
+        R = _sel(ns, hb_rows).astype(dtp)
+        C = _sel(nw, W).astype(dtp)
+        P = jax.lax.dot_general(R, canvas, (((1,), (0,)), ((), ())),
+                                preferred_element_type=dtp)   # (A, W, ch)
+        Q = jax.lax.dot_general(C, P, (((1,), (1,)), ((), ())),
+                                preferred_element_type=dtp)   # (V, A, ch)
+        ch = canvas.shape[-1]
+        Q = Q.reshape(nw, PW, ns, PW, ch).transpose(2, 0, 1, 3, 4)
+        return Q.reshape(ns * nw, PW * PW, ch)
+
+    def inverse_mm(toks):  # adjoint of transform_mm (drops pads exactly)
+        dtp = toks.dtype
+        ch = toks.shape[-1]
+        R = _sel(ns, hb_rows).astype(dtp)
+        C = _sel(nw, W).astype(dtp)
+        Q = toks.reshape(ns, nw, PW, PW, ch).transpose(1, 2, 0, 3, 4)
+        Q = Q.reshape(V, A, ch)
+        P = jax.lax.dot_general(C, Q, (((0,), (0,)), ((), ())),
+                                preferred_element_type=dtp)   # (W, A, ch)
+        out = jax.lax.dot_general(R, P, (((0,), (1,)), ((), ())),
+                                  preferred_element_type=dtp)  # (hb, W, ch)
+        return out
+
+    import os as _os
+
+    if _os.environ.get("LC2IS_CANVAS_MM", "0") == "1":
+        return transform_mm, inverse_mm
+
     # NOTE: a row-major token order (t = r·8 + c; pads + split reshapes +
     # one major-dim transpose instead of the sublane↔major swapaxes) was
     # built and parity-tested, but Mosaic rejects its win=7 sublane-split
@@ -204,20 +256,40 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     ipg = x_ref.shape[0]
     c = x_ref.shape[-1]
     dh = c // num_heads
-    X4 = x_ref[...].astype(jnp.float32)  # (ipg, Hb, W, C); rows >= H garbage
+    Xb = x_ref[...]  # (ipg, Hb, W, C) compute dtype; rows >= H garbage
+    rr = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, W), 0)
 
     # ---- whole-canvas LN + HF pad-after-LN zeroing (canvas-global mask) ----
-    x2 = X4.reshape(ipg * hb_rows * W, c)
-    mean = x2.mean(axis=-1, keepdims=True)
-    var = ((x2 - mean) ** 2).mean(axis=-1, keepdims=True)
-    hn = (x2 - mean) * jax.lax.rsqrt(var + eps)
-    hn = hn * lnw_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
-    h4 = hn.reshape(ipg, hb_rows, W, c)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, W), 0)
-    # where (not multiply): kills NaN from uninitialised out-of-bounds rows.
-    # The unsqueeze happens on the int32 (bool minor-dim inserts are
-    # unsupported on TPU); the comparison then yields a 3-D i1 directly.
-    h4 = jnp.where(rr[None, :, :, None] >= H, 0.0, h4)
+    if Xb.dtype == jnp.bfloat16:
+        # lean bf16 LN: stats accumulate in f32 (sums of bf16 values), the
+        # normalise/affine runs in bf16 — the f32 canvas (X4) and the f32
+        # normalised canvas (hn) are never materialised.  The layout-ablate
+        # probe put LN+transform at 0.86 of the 1.18 ms stage-1 block (the
+        # matmuls and attention are at floor); halving LN's VPU bytes is the
+        # cheap half of that.  Downstream consumers (QKV matmul) are bf16
+        # anyway; the extra rounding is below the kernels' bf16 noise
+        # (cf. fast-gelu: 4e-4 abs err, full-model mask agreement 1.0).
+        xl = Xb.reshape(ipg * hb_rows * W, c)
+        xf = xl.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = xf.var(axis=-1, keepdims=True)
+        scl = (jax.lax.rsqrt(var + eps)).astype(jnp.bfloat16)
+        hn = (xl - mean.astype(jnp.bfloat16)) * scl
+        hn = (hn * lnw_ref[...].astype(jnp.bfloat16)
+              + lnb_ref[...].astype(jnp.bfloat16))
+        h4 = hn.reshape(ipg, hb_rows, W, c)
+        h4 = jnp.where(rr[None, :, :, None] >= H, jnp.bfloat16(0.0), h4)
+    else:
+        x2 = Xb.astype(jnp.float32).reshape(ipg * hb_rows * W, c)
+        mean = x2.mean(axis=-1, keepdims=True)
+        var = ((x2 - mean) ** 2).mean(axis=-1, keepdims=True)
+        hn = (x2 - mean) * jax.lax.rsqrt(var + eps)
+        hn = hn * lnw_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
+        h4 = hn.reshape(ipg, hb_rows, W, c)
+        # where (not multiply): kills NaN from uninitialised out-of-bounds
+        # rows.  The unsqueeze happens on the int32 (bool minor-dim inserts
+        # are unsupported on TPU); the comparison yields a 3-D i1 directly.
+        h4 = jnp.where(rr[None, :, :, None] >= H, 0.0, h4)
     # (cols beyond W do not exist in the block; the strip transform pads
     # them with zeros, which is exactly the HF zero-pad value)
 
@@ -233,6 +305,12 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     h4 = h4.astype(dt)
 
     transform, inverse = _make_layout(ns, nw, win, o, W, wc, rowmajor)
+
+    if ablate == "ln":  # measurement-only: LN alone, no transform/attn/proj
+        for i in range(ipg):
+            res = (Xb[i, :H].astype(jnp.float32) if residual else 0.0)
+            o_ref[i] = (h4[i, :H].astype(jnp.float32) + res).astype(o_ref.dtype)
+        return
 
     nwin = ipg * ns * nw
     if ipg == 1:
@@ -331,7 +409,7 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     # force the caller into an out[:, :h] slice COPY of every canvas (~0.75
     # GB/step across the 22 blocks at 512²/b16)
     for i in range(ipg):
-        out = proj[i, :H] + (X4[i, :H] if residual else 0.0)
+        out = proj[i, :H] + (Xb[i, :H].astype(jnp.float32) if residual else 0.0)
         o_ref[i] = out.astype(o_ref.dtype)
 
 

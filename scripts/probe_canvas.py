@@ -4,6 +4,7 @@
 
 stage: 1 (128x128, C=96, 3 heads), 2 (64x64, C=192, 6), 3 (32x32, C=384, 12)
 ablate: full | noattn (LN+QKV+proj, attention skipped) | layout
+        | ln (LN alone, no transform/attention/proj)
         (transform+inverse only, no matmuls)
 
 Each case runs ONE swin block geometry (shift=3, the expensive offset-window

@@ -5,6 +5,7 @@ weights.  These are the module-level golden tests from SURVEY.md §7 step 2.
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from lc2is_tpu.models.weights import (
@@ -148,3 +149,37 @@ def test_swin_nondivisible_input(hf_swin, rng):
     for i, (mine, theirs) in enumerate(zip(hs, ref.hidden_states)):
         d = np.abs(np.asarray(mine) - theirs.numpy()).max()
         assert d < 5e-5, f"stage {i}: maxdiff {d}"
+
+
+def test_merge_conv_parity(rng, monkeypatch):
+    """LC2IS_MERGE_CONV (merge+LN+reduction as one stride-2 conv + pooled
+    moments) vs the strided-slice+concat path: same values and same VJP,
+    including the odd-size pad case."""
+    from lc2is_tpu.nn.swin import SwinPatchMerging
+
+    for hw, c in ((16, 24), (9, 8)):  # 9: odd → pad path
+        mod = SwinPatchMerging(dim=c)
+        x = jnp.asarray(rng.randn(2, hw * hw, c).astype(np.float32))
+        params = mod.init(jax.random.PRNGKey(0), x, (hw, hw))
+        # non-trivial LN params so the affine folding is actually exercised
+        params = jax.tree_util.tree_map(
+            lambda l: l + 0.1 * np.random.RandomState(1).randn(*l.shape).astype(l.dtype),
+            params)
+
+        def loss(p, xx):
+            y = mod.apply(p, xx, (hw, hw))
+            return (y * jnp.sin(y)).sum()
+
+        monkeypatch.setenv("LC2IS_MERGE_CONV", "0")
+        y0 = mod.apply(params, x, (hw, hw))
+        g0 = jax.grad(loss, argnums=(0, 1))(params, x)
+        monkeypatch.setenv("LC2IS_MERGE_CONV", "1")
+        y1 = mod.apply(params, x, (hw, hw))
+        g1 = jax.grad(loss, argnums=(0, 1))(params, x)
+
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=0, atol=1e-4)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=5e-4),
+            g0, g1)

@@ -115,3 +115,22 @@ def test_canvas_matches_hf_swin_layer():
         os.environ.pop("LC2IS_SWIN_CANVAS", None)
     for a, b in zip(out_x, out_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.parametrize("shift", [0, 3])
+def test_canvas_kernel_bf16_lean_ln(shift):
+    """bf16 compute takes the lean-LN branch (stats in f32, normalise/affine
+    in bf16, no f32 canvas) — parity vs the bf16 XLA reference within bf16
+    rounding.  The f32 branch is pinned bit-tight by test_canvas_kernel_parity;
+    this pins the branch the serving pipeline actually runs."""
+    x, lw, lb, wqkv, bqkv, wo, bo, bias = _mk(2, 18, 18, 32, 2, 7)
+    xb = x.astype(jnp.bfloat16)
+    args = (lw, lb, wqkv, bqkv, wo, bo, bias)
+    got = swin_canvas_block(xb, *args, 2, 7, shift, interpret=True)
+    want = _xla_canvas_reference(xb, *args, 2, 7, shift, 1e-5)
+    g = np.asarray(got, np.float32)
+    wv = np.asarray(want, np.float32)
+    # bf16 noise on O(1) activations: |x| up to ~6 after residual; 3 bf16
+    # roundings in the lean path vs 1 in the reference's f32-accum chain
+    np.testing.assert_allclose(g, wv, rtol=0, atol=0.12)
+    assert np.abs(g - wv).mean() < 0.02
