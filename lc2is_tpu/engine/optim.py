@@ -64,8 +64,9 @@ def fused_flat_adamw(
     ``multi_transform(set_to_zero)`` there is no per-leaf zero kernel.
 
     Numerics are exactly optax.adamw's (same bias correction, eps inside the
-    sqrt denominator ordering, decoupled weight decay); asserted against
-    optax in tests/test_optim.py.
+    sqrt denominator ordering, decoupled weight decay — wd applies only to
+    trainable leaves, matching the multi_transform-masked reference path);
+    asserted against optax in tests/test_optim.py.
     """
     import jax.numpy as jnp
     import numpy as np_
@@ -89,11 +90,11 @@ def fused_flat_adamw(
         }
 
     def update_fn(grads, state, params=None):
-        del params  # decoupled weight decay needs params only when wd != 0
-        if weight_decay:
-            raise NotImplementedError(
-                "fused_flat_adamw: wd=0 is the reference config (all_args.sh); "
-                "use optax.adamw for weight_decay != 0")
+        if weight_decay and params is None:
+            raise ValueError("fused_flat_adamw: weight_decay != 0 needs params "
+                             "(optax.adamw semantics: decoupled decay)")
+        p_leaves = (jax.tree_util.tree_leaves(params)
+                    if weight_decay else None)
         g_leaves, treedef = jax.tree_util.tree_flatten(grads)
         flags = _trainable_flags(grads)
         count = state["count"] + 1
@@ -114,7 +115,12 @@ def fused_flat_adamw(
                 [g_leaves[i].ravel().astype(jnp.float32) for i in idxs])
             m = state["m"][key] * b1 + g_flat * (1.0 - b1)
             v = state["v"][key] * b2 + jnp.square(g_flat) * (1.0 - b2)
-            upd = (-lr) * ((m / c1) / (jnp.sqrt(v / c2) + eps))
+            upd = (m / c1) / (jnp.sqrt(v / c2) + eps)
+            if weight_decay:  # decoupled (optax.adamw: update += wd · p)
+                p_flat = jnp.concatenate(
+                    [p_leaves[i].ravel().astype(jnp.float32) for i in idxs])
+                upd = upd + weight_decay * p_flat
+            upd = (-lr) * upd
             new_m[key], new_v[key] = m, v
             off = 0
             for i in idxs:
@@ -148,16 +154,17 @@ def make_optimizer(
 
     sched = make_schedule(schedule, lr, total_steps, warmup)
     mask = frozen_mask(params, frozen_prefixes) if frozen_prefixes else None
-    # flat-state fused AdamW (see fused_flat_adamw) at the reference config
-    # (wd=0).  Opt-in (LC2IS_FUSED_OPT=1): the ~700-slice update graph was
-    # observed to blow the remote train-step compile past 15 min (r3
-    # baseline ~5 min), so it stays off until the compile cost is fixed.
-    if weight_decay == 0 and os.environ.get("LC2IS_FUSED_OPT", "0") == "1":
+    # flat-state fused AdamW (see fused_flat_adamw).  Opt-in
+    # (LC2IS_FUSED_OPT=1): the ~700-slice update graph was observed to blow
+    # the remote train-step compile past 15 min in r3 (baseline ~5 min);
+    # standalone it compiles FASTER than tree adamw (9.4 s vs 31.2 s CPU) —
+    # full-train-step compile re-measurement tracked in STATUS.md.
+    if os.environ.get("LC2IS_FUSED_OPT", "0") == "1":
         chain = []
         if grad_clip:
             chain.append(optax.clip_by_global_norm(grad_clip))
         chain.append(fused_flat_adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
-                                      mask=mask))
+                                      weight_decay=weight_decay, mask=mask))
         return optax.chain(*chain)
     chain = []
     if grad_clip:

@@ -33,12 +33,14 @@ def _grads(seed=1):
 
 
 @pytest.mark.parametrize("schedule", ["constant", "cosine"])
-def test_fused_flat_adamw_matches_optax(schedule):
+@pytest.mark.parametrize("wd", [0.0, 0.01])
+def test_fused_flat_adamw_matches_optax(schedule, wd):
     params = _tree()
     sched = (1e-3 if schedule == "constant"
              else optax.warmup_cosine_decay_schedule(0.0, 1e-3, 2, 10))
-    ref_tx = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0)
-    new_tx = fused_flat_adamw(sched, b1=0.9, b2=0.999, eps=1e-8)
+    ref_tx = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd)
+    new_tx = fused_flat_adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                              weight_decay=wd)
 
     p_ref, p_new = params, params
     s_ref, s_new = ref_tx.init(p_ref), new_tx.init(p_new)
