@@ -182,58 +182,15 @@ def _make_layout(ns, nw, win, o, W, wc, rowmajor):
         y = y.reshape(ns, PW, wc, ch)[:, :win].reshape(ns * win, wc, ch)
         return _unshift(y)
 
-    # ---- selection-MATMUL layout (LC2IS_CANVAS_MM) ----
-    # The copy/shuffle chain above traverses the canvas ~6× per direction
-    # (the layout ablate put LN+layout at 0.86 of the 1.18 ms stage-1
-    # block).  The regroup is a LINEAR map with exactly one source per
-    # target (and one target per source), so each spatial axis can be
-    # regrouped by one matmul against a static 0/1 selection matrix — MXU
-    # work (~0.09 ms/blk at stage-1 scale) instead of VPU shuffles, and the
-    # 7→8 pad + offset shift ride along for free.  Exact in any dtype
-    # (≤1 nonzero per output row, both directions — the adjoint transposes
-    # the same matrices).
-    A = ns * PW  # strip-row axis  a = i·8 + r
-    V = nw * PW  # window-col axis v = j·8 + c
-
-    def _sel(n_groups, n_src):
-        """(n_groups·8, n_src) 0/1: [g·8+k, g·win+k−o] = 1 for k < win."""
-        m = n_groups * PW
-        ai = jax.lax.broadcasted_iota(jnp.int32, (m, n_src), 0)
-        bi = jax.lax.broadcasted_iota(jnp.int32, (m, n_src), 1)
-        g, k = ai // PW, ai % PW
-        src = g * win + k - o
-        return ((k < win) & (src == bi)).astype(jnp.float32)
-
-    def transform_mm(canvas):  # (hb, W, ch) → (ns·nw, 64, ch), t = c·8+r
-        dtp = canvas.dtype
-        R = _sel(ns, hb_rows).astype(dtp)
-        C = _sel(nw, W).astype(dtp)
-        P = jax.lax.dot_general(R, canvas, (((1,), (0,)), ((), ())),
-                                preferred_element_type=dtp)   # (A, W, ch)
-        Q = jax.lax.dot_general(C, P, (((1,), (1,)), ((), ())),
-                                preferred_element_type=dtp)   # (V, A, ch)
-        ch = canvas.shape[-1]
-        Q = Q.reshape(nw, PW, ns, PW, ch).transpose(2, 0, 1, 3, 4)
-        return Q.reshape(ns * nw, PW * PW, ch)
-
-    def inverse_mm(toks):  # adjoint of transform_mm (drops pads exactly)
-        dtp = toks.dtype
-        ch = toks.shape[-1]
-        R = _sel(ns, hb_rows).astype(dtp)
-        C = _sel(nw, W).astype(dtp)
-        Q = toks.reshape(ns, nw, PW, PW, ch).transpose(1, 2, 0, 3, 4)
-        Q = Q.reshape(V, A, ch)
-        P = jax.lax.dot_general(C, Q, (((0,), (0,)), ((), ())),
-                                preferred_element_type=dtp)   # (W, A, ch)
-        out = jax.lax.dot_general(R, P, (((0,), (1,)), ((), ())),
-                                  preferred_element_type=dtp)  # (hb, W, ch)
-        return out
-
-    import os as _os
-
-    if _os.environ.get("LC2IS_CANVAS_MM", "0") == "1":
-        return transform_mm, inverse_mm
-
+    # A selection-MATMUL layout (both regroup axes as 0/1-matrix matmuls,
+    # exact adjoints) was built and DELETED (win-or-delete): Mosaic rejects
+    # the multi-free-dim dot ("infer-vector-layout: unsupported shape cast"
+    # on the (hb, W, ch) rhs), and the batched-matmul rewrite that would
+    # lower cleanly loses on tile-cycle accounting — the hb=133 contraction
+    # is >99% zeros but the MXU pays M·ceil(K/128)·ceil(N/128) cycles
+    # regardless: ~0.5-0.7 ms/block at stage-1 geometry vs ~0.4-0.6 for the
+    # copy chain it would replace.  All 14 canvas tests passed with it
+    # (interpret mode), so the deletion is for performance, not correctness.
     # NOTE: a row-major token order (t = r·8 + c; pads + split reshapes +
     # one major-dim transpose instead of the sublane↔major swapaxes) was
     # built and parity-tested, but Mosaic rejects its win=7 sublane-split
