@@ -81,7 +81,7 @@ def permute_bias(bias: jnp.ndarray, win: int, rowmajor: bool = False) -> jnp.nda
 
 
 def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp, npi, nwin, ntile, pack,
-                rowmajor=False):
+                rowmajor=False, rolled=False):
     """(ntile, pack·64) region labels (-1 = void), built straight from iota
     at the PACKED shape (no reshapes — Mosaic rejects lane/sublane-merging
     vector reshapes on int32).  Token tt of tile ti is token tt%64 of global
@@ -109,6 +109,17 @@ def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp, npi, nwin, ntile, pack,
         r_in = t - c_in * PW
     row = i * win - o + r_in
     col = j * win - o + c_in
+    if rolled:
+        # tokens are coordinates of the ROLLED (Hp, Wp) canvas: windows are
+        # aligned (o == 0), the only voids are the 7→8 slot pads, and HF's
+        # 9-region mask is the plain slice classification on rolled coords
+        # (transformers SwinLayer h_slices/w_slices)
+        void = (r_in >= win) | (c_in >= win) | (g >= nwin)
+        rh = (row >= Hp - win).astype(jnp.int32) + (row >= Hp - shift).astype(jnp.int32)
+        rc = (col >= Wp - win).astype(jnp.int32) + (col >= Wp - shift).astype(jnp.int32)
+        lab = rh * 3 + rc
+        lab = lab + slot * 16
+        return jnp.where(void, -1, lab)
     void = ((r_in >= win) | (row < 0) | (row >= Hp)
             | (c_in >= win) | (col < 0) | (col >= Wp) | (g >= nwin))
     if shift:
@@ -203,7 +214,8 @@ def _make_layout(ns, nw, win, o, W, wc, rowmajor):
 def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                    wo_ref, bo_ref, bias_ref, o_ref,
                    num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
-                   ns, nw, wc, residual=True, rowmajor=False, ablate=""):
+                   ns, nw, wc, residual=True, rowmajor=False, ablate="",
+                   rolled=False):
     """``ipg`` images per grid step (x_ref.shape[0]): LN+QKV once over the
     canvases, per-strip window layout in VMEM, attention batched over ALL
     ipg·ns·nw windows — small canvases (stages 3-4) batch several images to
@@ -261,13 +273,26 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     dt = o_ref.dtype
     h4 = h4.astype(dt)
 
-    transform, inverse = _make_layout(ns, nw, win, o, W, wc, rowmajor)
-
     if ablate == "ln":  # measurement-only: LN alone, no transform/attn/proj
         for i in range(ipg):
             res = (Xb[i, :H].astype(jnp.float32) if residual else 0.0)
             o_ref[i] = (h4[i, :H].astype(jnp.float32) + res).astype(o_ref.dtype)
         return
+
+    if rolled:
+        # ROLLED mode (shifted blocks where it shrinks the window grid —
+        # e.g. stage-3 512²: 6×6 offset windows → 5×5 aligned): reproduce
+        # HF's actual roll in VMEM (2 concats) on the zero-padded (Hp, Wp)
+        # canvas, then window with o = 0.  31% fewer window slots through
+        # QKV + attention + layout; hb_rows == Hp here.
+        if Wp > W:
+            h4 = jnp.concatenate(
+                [h4, jnp.zeros((ipg, hb_rows, Wp - W, c), h4.dtype)], axis=2)
+        h4 = jnp.concatenate([h4[:, shift:], h4[:, :shift]], axis=1)
+        h4 = jnp.concatenate([h4[:, :, shift:], h4[:, :, :shift]], axis=2)
+        transform, inverse = _make_layout(ns, nw, win, 0, Wp, Wp, rowmajor)
+    else:
+        transform, inverse = _make_layout(ns, nw, win, o, W, wc, rowmajor)
 
     nwin = ipg * ns * nw
     if ipg == 1:
@@ -295,8 +320,9 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         # 10.9 → 12.9 ms; full swin 28.1 → 29.3): the attention is not
         # dispatch-bound, so the 2× logits FLOPs + 2× softmax VPU work cost
         # more than the fuller MXU tiles saved — deleted (win-or-delete).
-        lab = _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp,
-                          ns * nw, nwin, nwin, 1, rowmajor=rowmajor)
+        lab = _labels_all(ns, nw, win, 0 if rolled else o, shift, H, W, Hp, Wp,
+                          ns * nw, nwin, nwin, 1, rowmajor=rowmajor,
+                          rolled=rolled)
 
         # ---- batched window attention, HEAD-PAIR packed matmuls ----
         # (see ops/window_attention.pair_attn_fwd — halves the MXU pass
@@ -354,14 +380,22 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     npi = ns * nw  # windows per image
     comp = (inverse(attn) if ipg == 1 else jnp.concatenate(
         [inverse(attn[i * npi:(i + 1) * npi]) for i in range(ipg)], axis=0))
+    if rolled:
+        # unroll (+shift both axes) back to canvas coords, crop the Wp pad;
+        # comp is (ipg, Hp, Wp, c) here (hb_rows == Hp)
+        comp = comp.reshape(ipg, hb_rows, Wp, c)
+        comp = jnp.concatenate([comp[:, -shift:], comp[:, :-shift]], axis=1)
+        comp = jnp.concatenate([comp[:, :, -shift:], comp[:, :, :-shift]],
+                               axis=2)[:, :, :W]
+    pw = W
     if ablate == "layout":
-        proj = comp.astype(jnp.float32).reshape(ipg, hb_rows, W, c)
+        proj = comp.astype(jnp.float32).reshape(ipg, hb_rows, pw, c)
     else:
         proj = jax.lax.dot_general(
-            comp.reshape(ipg * hb_rows * W, c), wo_ref[...],
+            comp.reshape(ipg * hb_rows * pw, c), wo_ref[...],
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         proj = (proj + bo_ref[...].astype(jnp.float32)).reshape(
-            ipg, hb_rows, W, c)
+            ipg, hb_rows, pw, c)
     # o_ref covers exactly the H real rows — a (b, hb_rows, ·) output would
     # force the caller into an out[:, :h] slice COPY of every canvas (~0.75
     # GB/step across the 22 blocks at 512²/b16)
@@ -394,9 +428,20 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
     # used by scripts/probe_canvas.py to attribute in-kernel time
     ablate = _os.environ.get("LC2IS_CANVAS_ABLATE", "")
 
+    # ROLLED forward for shifted blocks where HF's aligned window grid is
+    # strictly smaller than the offset-window grid (stage-3 512²: 25 vs 36
+    # windows — offset windows inflate QKV/attention M-rows by the leading
+    # void fragments).  Forward-only: the VJP recomputes its own forward.
+    rolled = (shift > 0
+              and (hp // win) * (wp // win) < ns * nw
+              and _os.environ.get("LC2IS_CANVAS_ROLL", "0") == "1")
+    if rolled:
+        ns, nw, wc, o = hp // win, wp // win, wp, 0
+
     kw = dict(num_heads=num_heads, scale=scale, eps=eps, win=win,
               shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc,
-              residual=residual, rowmajor=rowmajor, ablate=ablate)
+              residual=residual, rowmajor=rowmajor, ablate=ablate,
+              rolled=rolled)
     const2 = lambda bb: (0, 0)
     hb_rows = ns * win
 
