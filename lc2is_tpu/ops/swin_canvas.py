@@ -484,7 +484,8 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                        dx_ref, dlnw_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                        dwo_ref, dbo_ref, dbias_ref,
                        num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
-                       ns, nw, wc, residual=True, rowmajor=False):
+                       ns, nw, wc, residual=True, rowmajor=False,
+                       rolled=False):
     """Canvas-direct backward: flash-style in-VMEM forward recompute + the
     full backward chain, reading the raw (ipg, Hb, W, C) canvas and upstream
     gradient — no XLA pad/roll/partition/reverse on either side.  The layout
@@ -513,7 +514,26 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         dbo_ref[...] = jnp.zeros_like(dbo_ref)
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    transform, inverse = _make_layout(ns, nw, win, o, W, wc, rowmajor)
+    if rolled:
+        # ROLLED geometry (see _canvas_kernel): windows are o=0-aligned on
+        # the rolled (Hp, Wp) canvas.  roll_in = adjoint of (unroll + crop);
+        # unroll = adjoint of (pad + roll).  hb_rows == Hp here.
+        transform, inverse = _make_layout(ns, nw, win, 0, Wp, Wp, rowmajor)
+
+        def roll_in(t4):  # (ipg, Hp, W, ·) → rolled (ipg, Hp, Wp, ·)
+            if Wp > W:
+                t4 = jnp.concatenate(
+                    [t4, jnp.zeros(t4.shape[:2] + (Wp - W, t4.shape[-1]),
+                                   t4.dtype)], axis=2)
+            t4 = jnp.concatenate([t4[:, shift:], t4[:, :shift]], axis=1)
+            return jnp.concatenate([t4[:, :, shift:], t4[:, :, :shift]], axis=2)
+
+        def unroll(t4):  # rolled (ipg, Hp, Wp, ·) → (ipg, Hp, W, ·)
+            t4 = jnp.concatenate([t4[:, -shift:], t4[:, :-shift]], axis=1)
+            return jnp.concatenate([t4[:, :, -shift:], t4[:, :, :-shift]],
+                                   axis=2)[:, :, :W]
+    else:
+        transform, inverse = _make_layout(ns, nw, win, o, W, wc, rowmajor)
     dt = dx_ref.dtype
 
     # ---- forward recompute: LN → window tokens → qkv ----
@@ -534,17 +554,18 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
     nwin = ipg * ns * nw
     npi = ns * nw
+    h4w = roll_in(h4) if rolled else h4
     if ipg == 1:
-        hw = transform(h4[0])
+        hw = transform(h4w[0])
     else:
-        hw = jnp.concatenate([transform(h4[i_]) for i_ in range(ipg)], axis=0)
+        hw = jnp.concatenate([transform(h4w[i_]) for i_ in range(ipg)], axis=0)
     hw2 = hw.reshape(nwin * PW * PW, c)
     qkv2 = jax.lax.dot_general(hw2, wqkv_ref[...], (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     qkv = (qkv2 + bqkv_ref[...].astype(jnp.float32)).astype(dt).reshape(
         nwin, PW * PW, 3 * c)
-    lab = _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp,
-                      npi, nwin, nwin, 1, rowmajor=rowmajor)
+    lab = _labels_all(ns, nw, win, 0 if rolled else o, shift, H, W, Hp, Wp,
+                      npi, nwin, nwin, 1, rowmajor=rowmajor, rolled=rolled)
     masked = (lab[:, :, None] != lab[:, None, :]) | (lab[:, None, :] == -1)
 
     # ---- out-proj backward (compact): proj = comp@Woᵀ + bo ----
@@ -559,6 +580,8 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     dcomp4 = dcomp2.astype(dt).reshape(ipg, hb_rows, W, c)
+    if rolled:  # adjoint of (unroll + crop): zero-pad cols, roll −shift
+        dcomp4 = roll_in(dcomp4)
     # d(inverse) = transform: scatter the compact grad back to window slots
     if ipg == 1:
         dattn = transform(dcomp4[0])
@@ -635,6 +658,8 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     attn = jnp.concatenate(att_parts, axis=-1)
     comp = (inverse(attn) if ipg == 1 else jnp.concatenate(
         [inverse(attn[i_ * npi:(i_ + 1) * npi]) for i_ in range(ipg)], axis=0))
+    if rolled:  # proj consumed the UNROLLED, col-cropped canvas
+        comp = unroll(comp.reshape(ipg, hb_rows, Wp, c))
     dwo_ref[...] += jax.lax.dot_general(
         gout.astype(dt), comp.reshape(rows, c), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dwo_ref.dtype)
@@ -655,6 +680,8 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     # d(transform) = inverse: gather window-slot grads back to the canvas
     dh4 = (inverse(dhw) if ipg == 1 else jnp.concatenate(
         [inverse(dhw[i_ * npi:(i_ + 1) * npi]) for i_ in range(ipg)], axis=0))
+    if rolled:  # adjoint of (pad cols + roll −shift) = unroll (+shift, crop)
+        dh4 = unroll(dh4.reshape(ipg, hb_rows, Wp, c))
     dhf = dh4.astype(jnp.float32).reshape(ipg, hb_rows, W, c)
     # adjoint of the post-LN zeroing at HF-pad rows (rows ≥ H)
     dhf = jnp.where(rr[None, :, :, None] >= H, 0.0, dhf).reshape(rows, c)
@@ -676,13 +703,20 @@ def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
     b, h, w, c = x.shape
     o, hp, wp, ns, nw = _geom(h, w, win, shift)
     wc = nw * win
-    hb_rows = ns * win
     wdt = x.dtype
     dh = c // num_heads
 
     bias_p = permute_bias(bias, win, rowmajor)
 
     import os as _os
+
+    # rolled geometry: same gate as the forward (see _canvas_fwd_impl)
+    rolled = (shift > 0
+              and (hp // win) * (wp // win) < ns * nw
+              and _os.environ.get("LC2IS_CANVAS_ROLL", "0") == "1")
+    if rolled:
+        ns, nw, wc, o = hp // win, wp // win, wp, 0
+    hb_rows = ns * win
 
     # the backward holds ~2× the forward's intermediates (grads mirror
     # activations): half the images per grid step
@@ -694,7 +728,7 @@ def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
 
     kw = dict(num_heads=num_heads, scale=1.0 / np.sqrt(dh), eps=eps, win=win,
               shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc,
-              residual=residual, rowmajor=rowmajor)
+              residual=residual, rowmajor=rowmajor, rolled=rolled)
     const2 = lambda bb: (0, 0)
     strip_spec = pl.BlockSpec((ipg, hb_rows, w, c), lambda bb: (bb, 0, 0, 0))
     exact_spec = pl.BlockSpec((ipg, h, w, c), lambda bb: (bb, 0, 0, 0))
