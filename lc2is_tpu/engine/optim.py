@@ -38,106 +38,15 @@ def make_schedule(kind: str, lr: float, total_steps: int, warmup: int = 0):
     raise ValueError(kind)
 
 
-def fused_flat_adamw(
-    schedule,
-    b1: float = 0.9,
-    b2: float = 0.999,
-    eps: float = 1e-8,
-    weight_decay: float = 0.0,
-    mask=None,
-):
-    """AdamW whose moments live in ONE flat f32 buffer per parameter dtype.
-
-    The tree-shaped ``optax.adamw`` emits ~6 small fused kernels per leaf —
-    at the flagship tree (~700 leaves) the per-leaf launch overhead is most
-    of the measured 14.5 ms optstep (r3 dissection).  Here the moment/update
-    math runs as a single fused elementwise kernel over the concatenated
-    trainable leaves; only the unavoidable ravel/concat of grads and the
-    slice/reshape of updates touch per-leaf data, and XLA fuses those into
-    two bulk copies.  ``optax.flatten`` was measured 2.4× WORSE because it
-    flattens params/updates across the *transform boundary* every step
-    (ravel + unravel + flat re-concat of the whole tree); this keeps the
-    boundary tree-shaped and flattens only the STATE.
-
-    Frozen leaves (``mask`` False) get constant-zero updates (XLA folds the
-    ``p + 0`` in apply_updates away) and carry NO optimizer state — unlike
-    ``multi_transform(set_to_zero)`` there is no per-leaf zero kernel.
-
-    Numerics are exactly optax.adamw's (same bias correction, eps inside the
-    sqrt denominator ordering, decoupled weight decay — wd applies only to
-    trainable leaves, matching the multi_transform-masked reference path);
-    asserted against optax in tests/test_optim.py.
-    """
-    import jax.numpy as jnp
-    import numpy as np_
-
-    def _trainable_flags(params):
-        if mask is None:
-            return [True] * len(jax.tree_util.tree_leaves(params))
-        return jax.tree_util.tree_leaves(mask)
-
-    def init_fn(params):
-        leaves = jax.tree_util.tree_leaves(params)
-        flags = _trainable_flags(params)
-        sizes = {}
-        for leaf, tr in zip(leaves, flags):
-            if tr:
-                sizes[leaf.dtype] = sizes.get(leaf.dtype, 0) + int(np_.prod(leaf.shape))
-        return {
-            "count": jnp.zeros((), jnp.int32),
-            "m": {str(dt): jnp.zeros((n,), jnp.float32) for dt, n in sizes.items()},
-            "v": {str(dt): jnp.zeros((n,), jnp.float32) for dt, n in sizes.items()},
-        }
-
-    def update_fn(grads, state, params=None):
-        if weight_decay and params is None:
-            raise ValueError("fused_flat_adamw: weight_decay != 0 needs params "
-                             "(optax.adamw semantics: decoupled decay)")
-        p_leaves = (jax.tree_util.tree_leaves(params)
-                    if weight_decay else None)
-        g_leaves, treedef = jax.tree_util.tree_flatten(grads)
-        flags = _trainable_flags(grads)
-        count = state["count"] + 1
-        lr = schedule(state["count"]) if callable(schedule) else schedule
-        c1 = 1.0 - b1 ** count.astype(jnp.float32)
-        c2 = 1.0 - b2 ** count.astype(jnp.float32)
-
-        # bucket trainable leaves by dtype, preserving traversal order
-        buckets = {}
-        for i, (g, tr) in enumerate(zip(g_leaves, flags)):
-            if tr:
-                buckets.setdefault(str(g.dtype), []).append(i)
-
-        upd_leaves = [None] * len(g_leaves)
-        new_m, new_v = {}, {}
-        for key, idxs in buckets.items():
-            g_flat = jnp.concatenate(
-                [g_leaves[i].ravel().astype(jnp.float32) for i in idxs])
-            m = state["m"][key] * b1 + g_flat * (1.0 - b1)
-            v = state["v"][key] * b2 + jnp.square(g_flat) * (1.0 - b2)
-            upd = (m / c1) / (jnp.sqrt(v / c2) + eps)
-            if weight_decay:  # decoupled (optax.adamw: update += wd · p)
-                p_flat = jnp.concatenate(
-                    [p_leaves[i].ravel().astype(jnp.float32) for i in idxs])
-                upd = upd + weight_decay * p_flat
-            upd = (-lr) * upd
-            new_m[key], new_v[key] = m, v
-            off = 0
-            for i in idxs:
-                n = int(np_.prod(g_leaves[i].shape))
-                # static-bound lax.slice (not dynamic_slice): XLA folds the
-                # split into views instead of materialised gathers
-                upd_leaves[i] = jax.lax.slice(upd, (off,), (off + n,)).reshape(
-                    g_leaves[i].shape).astype(g_leaves[i].dtype)
-                off += n
-        for i, g in enumerate(g_leaves):  # frozen: constant zeros (folded away)
-            if upd_leaves[i] is None:
-                upd_leaves[i] = jnp.zeros_like(g)
-
-        updates = jax.tree_util.tree_unflatten(treedef, upd_leaves)
-        return updates, {"count": count, "m": new_m, "v": new_v}
-
-    return optax.GradientTransformation(init_fn, update_fn)
+# A flat-state fused AdamW (one f32 moment buffer per dtype, per-leaf
+# lax.slice views of a single fused update) was built, optax-parity tested,
+# and DELETED after measurement (win-or-delete): tree-shaped optax.adamw is
+# already at the HBM roof on the flagship tree (optstep 6.49 ms moving
+# 5.62 GB at 867 GB/s, v5e), while the fused version's ravel/concat of
+# grads and slice/copy of updates tripled the bytes (26.59 ms, 18.69 GB at
+# 703 GB/s).  The optimizer is bytes-bound, not launch-bound — the r3
+# "14.5 ms optstep" attribution that motivated it no longer reproduces.
+# (optax.flatten was separately measured 2.4x worse — same reason.)
 
 
 def make_optimizer(
@@ -153,19 +62,6 @@ def make_optimizer(
     import os
 
     sched = make_schedule(schedule, lr, total_steps, warmup)
-    mask = frozen_mask(params, frozen_prefixes) if frozen_prefixes else None
-    # flat-state fused AdamW (see fused_flat_adamw).  Opt-in
-    # (LC2IS_FUSED_OPT=1): the ~700-slice update graph was observed to blow
-    # the remote train-step compile past 15 min in r3 (baseline ~5 min);
-    # standalone it compiles FASTER than tree adamw (9.4 s vs 31.2 s CPU) —
-    # full-train-step compile re-measurement tracked in STATUS.md.
-    if os.environ.get("LC2IS_FUSED_OPT", "0") == "1":
-        chain = []
-        if grad_clip:
-            chain.append(optax.clip_by_global_norm(grad_clip))
-        chain.append(fused_flat_adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
-                                      weight_decay=weight_decay, mask=mask))
-        return optax.chain(*chain)
     chain = []
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))

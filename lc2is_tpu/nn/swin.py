@@ -457,10 +457,15 @@ class SwinPatchMerging(nn.Module):
         const = lnb.astype(jnp.float32) @ wi       # (2C,)
 
         dt = x.dtype
+        # conv in the compute dtype on BOTH sides (bf16 MXU accumulates in
+        # f32 internally and rounds once — same noise as the slice path's
+        # bf16 reduction matmul).  preferred_element_type=f32 here would
+        # hand the conv VJP an f32 cotangent against bf16 operands, which
+        # lax.conv rejects in the training backward.
         y = jax.lax.conv_general_dilated(
             x, wconv.astype(dt), window_strides=(2, 2), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)    # (B, H/2, W/2, 2C)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))    # (B, H/2, W/2, 2C)
+        y = y.astype(jnp.float32)
         xf = x.astype(jnp.float32)
         xsum = jnp.sum(xf, axis=-1)
         xsq = jnp.sum(xf * xf, axis=-1)

@@ -183,3 +183,22 @@ def test_merge_conv_parity(rng, monkeypatch):
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=0, atol=5e-4),
             g0, g1)
+
+
+def test_merge_conv_bf16_grad_executes(rng):
+    """Training-path regression: the merge-conv VJP at bf16 compute.  The
+    original conv used preferred_element_type=f32, whose VJP hands lax.conv
+    an f32 cotangent against bf16 operands — TypeError only when
+    DIFFERENTIATED at bf16 (inference and f32 tests never hit it; the
+    training bench did)."""
+    from lc2is_tpu.nn.swin import SwinPatchMerging
+
+    mod = SwinPatchMerging(dim=8)
+    x = jnp.asarray(rng.randn(1, 16 * 16, 8).astype(np.float32), jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(0), x, (16, 16))
+
+    def loss(p, xx):
+        return mod.apply(p, xx, (16, 16)).astype(jnp.float32).sum()
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
+    assert jnp.isfinite(jnp.asarray(g[1], jnp.float32)).all()
