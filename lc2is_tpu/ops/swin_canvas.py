@@ -134,29 +134,33 @@ def _labels_all(ns, nw, win, o, shift, H, W, Hp, Wp, npi, nwin, ntile, pack,
     return jnp.where(void, -1, lab)
 
 
-def _make_layout(ns, nw, win, o, W, wc, rowmajor):
+def _make_layout(ns, nw, win, o, W, wc, rowmajor, w_in=None):
     """In-VMEM canvas ↔ window-token layout maps (exact adjoints of each
     other: transform places every canvas position in exactly one window
     slot, zero-filling pads; inverse reads each slot back and drops pads).
 
-    - transform: (hb_rows, W, ch) canvas → (ns·nw, 64, ch) tokens.  Strips
+    - transform: (hb_rows, w_in, ch) canvas → (ns·nw, 64, ch) tokens.  Strips
       tile the row range [-o, ns·win − o) CONTIGUOUSLY, so the per-strip
-      extraction is one top/left zero pad — no slicing loop.
-    - inverse: tokens → canvas.
+      extraction is one top/left zero pad — no slicing loop.  ``w_in``
+      defaults to W; when the caller pre-loads a WIDER block (w_in == wc,
+      garbage cols already zeroed — the o == 0 fast path) the column pad
+      concat disappears entirely.
+    - inverse: tokens → canvas (cropped back to W cols).
     """
     hb_rows = ns * win
+    w_in = W if w_in is None else w_in
 
     def _offset_pad(canvas):
         ch, dtp = canvas.shape[-1], canvas.dtype
-        cat = canvas  # (hb_rows, W, ch)
+        cat = canvas  # (hb_rows, w_in, ch)
         if o:
             cat = jnp.concatenate(
-                [jnp.zeros((o, W, ch), dtp), cat[: hb_rows - o]], axis=0)
+                [jnp.zeros((o, w_in, ch), dtp), cat[: hb_rows - o]], axis=0)
         cols = [cat]
         if o:
             cols.insert(0, jnp.zeros((hb_rows, o, ch), dtp))
-        if wc - o - W:
-            cols.append(jnp.zeros((hb_rows, wc - o - W, ch), dtp))
+        if wc - o - w_in:
+            cols.append(jnp.zeros((hb_rows, wc - o - w_in, ch), dtp))
         return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cat
 
     def transform_cm(canvas):
@@ -215,18 +219,31 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                    wo_ref, bo_ref, bias_ref, o_ref,
                    num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
                    ns, nw, wc, residual=True, rowmajor=False, ablate="",
-                   rolled=False):
+                   rolled=False, wl=None):
     """``ipg`` images per grid step (x_ref.shape[0]): LN+QKV once over the
     canvases, per-strip window layout in VMEM, attention batched over ALL
     ipg·ns·nw windows — small canvases (stages 3-4) batch several images to
     keep the matmul M-dims MXU-sized; big canvases (stage 1) run one at a
-    time for VMEM."""
+    time for VMEM.
+
+    ``wl`` is the LOADED block width: when o == 0 (unshifted, and rolled)
+    the block reads wl == wc cols straight from HBM — cols ≥ W are garbage
+    zeroed by the same post-LN mask that handles rows ≥ H, and the layout's
+    column-pad concat (a full canvas VMEM copy per block) disappears."""
     hb_rows = ns * win
     ipg = x_ref.shape[0]
     c = x_ref.shape[-1]
     dh = c // num_heads
-    Xb = x_ref[...]  # (ipg, Hb, W, C) compute dtype; rows >= H garbage
-    rr = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, W), 0)
+    wl = W if wl is None else wl
+    Xb = x_ref[...]  # (ipg, Hb, wl, C) compute dtype; rows >= H / cols >= W garbage
+    # unsqueeze the int32 iotas BEFORE comparing — Mosaic rejects minor-dim
+    # inserts on i1 vectors ("Insertion of minor dim … only for 32-bit")
+    rr4 = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, wl), 0)[None, :, :, None]
+    if wl > W:
+        cc4 = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, wl), 1)[None, :, :, None]
+        padm = (rr4 >= H) | (cc4 >= W)
+    else:
+        padm = rr4 >= H
 
     # ---- whole-canvas LN + HF pad-after-LN zeroing (canvas-global mask) ----
     if Xb.dtype == jnp.bfloat16:
@@ -238,7 +255,7 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         # cheap half of that.  Downstream consumers (QKV matmul) are bf16
         # anyway; the extra rounding is below the kernels' bf16 noise
         # (cf. fast-gelu: 4e-4 abs err, full-model mask agreement 1.0).
-        xl = Xb.reshape(ipg * hb_rows * W, c)
+        xl = Xb.reshape(ipg * hb_rows * wl, c)
         xf = xl.astype(jnp.float32)
         mean = xf.mean(axis=-1, keepdims=True)
         var = xf.var(axis=-1, keepdims=True)
@@ -246,19 +263,20 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         hn = (xl - mean.astype(jnp.bfloat16)) * scl
         hn = (hn * lnw_ref[...].astype(jnp.bfloat16)
               + lnb_ref[...].astype(jnp.bfloat16))
-        h4 = hn.reshape(ipg, hb_rows, W, c)
-        h4 = jnp.where(rr[None, :, :, None] >= H, jnp.bfloat16(0.0), h4)
+        h4 = hn.reshape(ipg, hb_rows, wl, c)
+        h4 = jnp.where(padm, jnp.bfloat16(0.0), h4)
     else:
-        x2 = Xb.astype(jnp.float32).reshape(ipg * hb_rows * W, c)
+        x2 = Xb.astype(jnp.float32).reshape(ipg * hb_rows * wl, c)
         mean = x2.mean(axis=-1, keepdims=True)
         var = ((x2 - mean) ** 2).mean(axis=-1, keepdims=True)
         hn = (x2 - mean) * jax.lax.rsqrt(var + eps)
         hn = hn * lnw_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
-        h4 = hn.reshape(ipg, hb_rows, W, c)
+        h4 = hn.reshape(ipg, hb_rows, wl, c)
         # where (not multiply): kills NaN from uninitialised out-of-bounds
-        # rows.  The unsqueeze happens on the int32 (bool minor-dim inserts
-        # are unsupported on TPU); the comparison yields a 3-D i1 directly.
-        h4 = jnp.where(rr[None, :, :, None] >= H, 0.0, h4)
+        # rows/cols.  The unsqueeze happens on the int32 (bool minor-dim
+        # inserts are unsupported on TPU); the comparison yields a 3-D i1
+        # directly.
+        h4 = jnp.where(padm, 0.0, h4)
     # (cols beyond W do not exist in the block; the strip transform pads
     # them with zeros, which is exactly the HF zero-pad value)
 
@@ -275,8 +293,8 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
     if ablate == "ln":  # measurement-only: LN alone, no transform/attn/proj
         for i in range(ipg):
-            res = (Xb[i, :H].astype(jnp.float32) if residual else 0.0)
-            o_ref[i] = (h4[i, :H].astype(jnp.float32) + res).astype(o_ref.dtype)
+            res = (Xb[i, :H, :W].astype(jnp.float32) if residual else 0.0)
+            o_ref[i] = (h4[i, :H, :W].astype(jnp.float32) + res).astype(o_ref.dtype)
         return
 
     if rolled:
@@ -284,15 +302,19 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         # e.g. stage-3 512²: 6×6 offset windows → 5×5 aligned): reproduce
         # HF's actual roll in VMEM (2 concats) on the zero-padded (Hp, Wp)
         # canvas, then window with o = 0.  31% fewer window slots through
-        # QKV + attention + layout; hb_rows == Hp here.
-        if Wp > W:
+        # QKV + attention + layout; hb_rows == Hp here, and the wide block
+        # load (wl == Wp) already carries the zeroed pad cols.
+        if h4.shape[2] < Wp:
             h4 = jnp.concatenate(
-                [h4, jnp.zeros((ipg, hb_rows, Wp - W, c), h4.dtype)], axis=2)
+                [h4, jnp.zeros((ipg, hb_rows, Wp - h4.shape[2], c), h4.dtype)],
+                axis=2)
         h4 = jnp.concatenate([h4[:, shift:], h4[:, :shift]], axis=1)
         h4 = jnp.concatenate([h4[:, :, shift:], h4[:, :, :shift]], axis=2)
-        transform, inverse = _make_layout(ns, nw, win, 0, Wp, Wp, rowmajor)
+        transform, inverse = _make_layout(ns, nw, win, 0, Wp, Wp, rowmajor,
+                                          w_in=Wp)
     else:
-        transform, inverse = _make_layout(ns, nw, win, o, W, wc, rowmajor)
+        transform, inverse = _make_layout(ns, nw, win, o, W, wc, rowmajor,
+                                          w_in=wl)
 
     nwin = ipg * ns * nw
     if ipg == 1:
@@ -400,7 +422,8 @@ def _canvas_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     # force the caller into an out[:, :h] slice COPY of every canvas (~0.75
     # GB/step across the 22 blocks at 512²/b16)
     for i in range(ipg):
-        out = proj[i, :H] + (Xb[i, :H].astype(jnp.float32) if residual else 0.0)
+        out = proj[i, :H] + (Xb[i, :H, :W].astype(jnp.float32)
+                             if residual else 0.0)
         o_ref[i] = out.astype(o_ref.dtype)
 
 
@@ -438,10 +461,19 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
     if rolled:
         ns, nw, wc, o = hp // win, wp // win, wp, 0
 
+    # o == 0 (unshifted, and rolled): load the block WIDER than the real
+    # canvas — cols ≥ w are out-of-bounds garbage that the kernel's post-LN
+    # pad mask zeroes, and the layout's column-pad concat (one full canvas
+    # VMEM copy per block) disappears.  Mosaic only accepts block widths
+    # (dim -2) divisible by 8 or equal to the array width, so the wide load
+    # is gated on that; wc = nw·win is rarely 8-divisible at the production
+    # geometries, where the concat path remains.
+    wl = wc if (o == 0 and (wc == w or wc % 8 == 0)) else w
+
     kw = dict(num_heads=num_heads, scale=scale, eps=eps, win=win,
               shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc,
               residual=residual, rowmajor=rowmajor, ablate=ablate,
-              rolled=rolled)
+              rolled=rolled, wl=wl)
     const2 = lambda bb: (0, 0)
     hb_rows = ns * win
 
@@ -455,7 +487,7 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
         ipg -= 1
 
     in_specs = [
-        pl.BlockSpec((ipg, hb_rows, w, c), lambda bb: (bb, 0, 0, 0)),
+        pl.BlockSpec((ipg, hb_rows, wl, c), lambda bb: (bb, 0, 0, 0)),
         pl.BlockSpec((1, c), const2),
         pl.BlockSpec((1, c), const2),
         pl.BlockSpec((3 * c, c), const2),
@@ -485,7 +517,7 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                        dwo_ref, dbo_ref, dbias_ref,
                        num_heads, scale, eps, win, shift, o, H, W, Hp, Wp,
                        ns, nw, wc, residual=True, rowmajor=False,
-                       rolled=False):
+                       rolled=False, wl=None):
     """Canvas-direct backward: flash-style in-VMEM forward recompute + the
     full backward chain, reading the raw (ipg, Hb, W, C) canvas and upstream
     gradient — no XLA pad/roll/partition/reverse on either side.  The layout
@@ -502,7 +534,9 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     ipg = x_ref.shape[0]
     c = x_ref.shape[-1]
     dh = c // num_heads
-    rows = ipg * hb_rows * W
+    wl = W if wl is None else wl  # loaded x width (== wc on the o == 0 path)
+    rows = ipg * hb_rows * W      # grad-side row count (g stays at width W)
+    rows_l = ipg * hb_rows * wl   # x-side row count
 
     @pl.when(i == 0)
     def _():
@@ -532,33 +566,52 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
             t4 = jnp.concatenate([t4[:, -shift:], t4[:, :-shift]], axis=1)
             return jnp.concatenate([t4[:, :, -shift:], t4[:, :, :-shift]],
                                    axis=2)[:, :, :W]
+
+        transform_x = transform_g = transform
+        inverse_W = inverse_l = inverse
     else:
-        transform, inverse = _make_layout(ns, nw, win, o, W, wc, rowmajor)
+        # two input widths share one window-token layout: the x side loads
+        # wl (== wc on the o == 0 path — no column-pad concat), the grad
+        # side stays at the public width W
+        transform_g, inverse_W = _make_layout(ns, nw, win, o, W, wc, rowmajor)
+        if wl > W:
+            transform_x, inverse_l = _make_layout(ns, nw, win, o, wl, wc,
+                                                  rowmajor, w_in=wl)
+        else:
+            transform_x, inverse_l = transform_g, inverse_W
     dt = dx_ref.dtype
 
     # ---- forward recompute: LN → window tokens → qkv ----
     X4 = x_ref[...].astype(jnp.float32)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, W), 0)
-    # rows ≥ H of the block are uninitialised garbage; zero them BEFORE the
-    # LN stats — the backward sums dw_rows = dy·x̂ over every row, and
-    # 0·NaN from a garbage row would poison the whole weight-grad sum
-    X4 = jnp.where(rr[None, :, :, None] >= H, 0.0, X4)
-    x2 = X4.reshape(rows, c)
+    # unsqueeze the int32 iotas BEFORE comparing (Mosaic: no i1 minor-dim
+    # inserts)
+    rr4 = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, wl), 0)[None, :, :, None]
+    if wl > W:
+        cc4 = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, wl), 1)[None, :, :, None]
+        padm = (rr4 >= H) | (cc4 >= W)
+    else:
+        padm = rr4 >= H
+    # rows ≥ H / cols ≥ W of the block are uninitialised garbage; zero them
+    # BEFORE the LN stats — the backward sums dw_rows = dy·x̂ over every row,
+    # and 0·NaN from a garbage row would poison the whole weight-grad sum
+    X4 = jnp.where(padm, 0.0, X4)
+    x2 = X4.reshape(rows_l, c)
     lnw = lnw_ref[...].astype(jnp.float32)
     lnb = lnb_ref[...].astype(jnp.float32)
     mean = x2.mean(axis=-1, keepdims=True)
     var = ((x2 - mean) ** 2).mean(axis=-1, keepdims=True)
     hn = (x2 - mean) * jax.lax.rsqrt(var + eps) * lnw + lnb
-    h4 = hn.reshape(ipg, hb_rows, W, c)
-    h4 = jnp.where(rr[None, :, :, None] >= H, 0.0, h4).astype(dt)
+    h4 = hn.reshape(ipg, hb_rows, wl, c)
+    h4 = jnp.where(padm, 0.0, h4).astype(dt)
 
     nwin = ipg * ns * nw
     npi = ns * nw
     h4w = roll_in(h4) if rolled else h4
     if ipg == 1:
-        hw = transform(h4w[0])
+        hw = transform_x(h4w[0])
     else:
-        hw = jnp.concatenate([transform(h4w[i_]) for i_ in range(ipg)], axis=0)
+        hw = jnp.concatenate([transform_x(h4w[i_]) for i_ in range(ipg)],
+                             axis=0)
     hw2 = hw.reshape(nwin * PW * PW, c)
     qkv2 = jax.lax.dot_general(hw2, wqkv_ref[...], (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
@@ -569,12 +622,13 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
     masked = (lab[:, :, None] != lab[:, None, :]) | (lab[:, None, :] == -1)
 
     # ---- out-proj backward (compact): proj = comp@Woᵀ + bo ----
-    # g arrives at the public (ipg, H, W, C) shape (no host-side pad copy);
-    # the crop's adjoint — zeros at rows ≥ H — is a VMEM concat
+    # g is loaded at strip height (ipg, hb_rows, W, C) — rows ≥ H are
+    # out-of-bounds garbage zeroed here (the crop's adjoint), replacing the
+    # former full-canvas pad concat
+    rrW = jax.lax.broadcasted_iota(jnp.int32, (hb_rows, W), 0)
     g4 = g_ref[...].astype(jnp.float32)
     if hb_rows > H:
-        g4 = jnp.concatenate(
-            [g4, jnp.zeros((ipg, hb_rows - H, W, c), jnp.float32)], axis=1)
+        g4 = jnp.where(rrW[None, :, :, None] >= H, 0.0, g4)
     gout = g4.reshape(rows, c)
     dcomp2 = jax.lax.dot_general(gout.astype(dt), wo_ref[...],
                                  (((1,), (0,)), ((), ())),
@@ -584,9 +638,9 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
         dcomp4 = roll_in(dcomp4)
     # d(inverse) = transform: scatter the compact grad back to window slots
     if ipg == 1:
-        dattn = transform(dcomp4[0])
+        dattn = transform_g(dcomp4[0])
     else:
-        dattn = jnp.concatenate([transform(dcomp4[i_]) for i_ in range(ipg)],
+        dattn = jnp.concatenate([transform_g(dcomp4[i_]) for i_ in range(ipg)],
                                 axis=0)
 
     # ---- attention fwd recompute + backward, HEAD-PAIR packed ----
@@ -656,8 +710,9 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
     # dWo += goutᵀ @ comp (comp = inverse(attn), recomputed); dbo += Σ gout
     attn = jnp.concatenate(att_parts, axis=-1)
-    comp = (inverse(attn) if ipg == 1 else jnp.concatenate(
-        [inverse(attn[i_ * npi:(i_ + 1) * npi]) for i_ in range(ipg)], axis=0))
+    comp = (inverse_W(attn) if ipg == 1 else jnp.concatenate(
+        [inverse_W(attn[i_ * npi:(i_ + 1) * npi]) for i_ in range(ipg)],
+        axis=0))
     if rolled:  # proj consumed the UNROLLED, col-cropped canvas
         comp = unroll(comp.reshape(ipg, hb_rows, Wp, c))
     dwo_ref[...] += jax.lax.dot_general(
@@ -678,20 +733,25 @@ def _canvas_bwd_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
                               preferred_element_type=jnp.float32)
     dhw = dhw.astype(dt).reshape(nwin, PW * PW, c)
     # d(transform) = inverse: gather window-slot grads back to the canvas
-    dh4 = (inverse(dhw) if ipg == 1 else jnp.concatenate(
-        [inverse(dhw[i_ * npi:(i_ + 1) * npi]) for i_ in range(ipg)], axis=0))
+    # (at the x side's loaded width wl — the extra cols are about to be
+    # zeroed by the pad-mask adjoint, so no crop copy is spent on them)
+    dh4 = (inverse_l(dhw) if ipg == 1 else jnp.concatenate(
+        [inverse_l(dhw[i_ * npi:(i_ + 1) * npi]) for i_ in range(ipg)],
+        axis=0))
     if rolled:  # adjoint of (pad cols + roll −shift) = unroll (+shift, crop)
         dh4 = unroll(dh4.reshape(ipg, hb_rows, Wp, c))
-    dhf = dh4.astype(jnp.float32).reshape(ipg, hb_rows, W, c)
-    # adjoint of the post-LN zeroing at HF-pad rows (rows ≥ H)
-    dhf = jnp.where(rr[None, :, :, None] >= H, 0.0, dhf).reshape(rows, c)
+    dhf = dh4.astype(jnp.float32).reshape(ipg, hb_rows, wl, c)
+    # adjoint of the post-LN zeroing at HF-pad rows/cols
+    dhf = jnp.where(padm, 0.0, dhf).reshape(rows_l, c)
 
     dx_ln, dw_rows, db_rows = _ln_bwd(dhf, x2, lnw, eps)
     dlnw_ref[...] += jnp.sum(dw_rows, axis=0, keepdims=True).astype(dlnw_ref.dtype)
     dlnb_ref[...] += jnp.sum(db_rows, axis=0, keepdims=True).astype(dlnb_ref.dtype)
-    dx = dx_ln + (gout if residual else 0.0)
+    dx4 = dx_ln.reshape(ipg, hb_rows, wl, c)[:, :H, :W]
+    if residual:
+        dx4 = dx4 + g4[:, :H]
     # dx_ref covers exactly the H real rows (no caller-side crop copy)
-    dx_ref[...] = dx.reshape(ipg, hb_rows, W, c)[:, :H].astype(dx_ref.dtype)
+    dx_ref[...] = dx4.astype(dx_ref.dtype)
 
 
 def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
@@ -726,21 +786,29 @@ def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
     while b % ipg:
         ipg -= 1
 
+    # x loads wide on the o == 0 non-rolled path (cols ≥ w garbage, zeroed
+    # with the rows ≥ h mask — kills the column-pad concat); rolled keeps
+    # wl == w because the LN runs pre-roll at the public width there.
+    # Gated on Mosaic's block-width rule (dim -2 divisible by 8 or == array
+    # width) — see _canvas_fwd_impl.  g loads at strip HEIGHT (rows ≥ h
+    # garbage → masked; only dim -3 changes, always legal) — kills the
+    # row-pad concat on the grad side.
+    wl = wc if (o == 0 and not rolled and (wc == w or wc % 8 == 0)) else w
     kw = dict(num_heads=num_heads, scale=1.0 / np.sqrt(dh), eps=eps, win=win,
               shift=shift, o=o, H=h, W=w, Hp=hp, Wp=wp, ns=ns, nw=nw, wc=wc,
-              residual=residual, rowmajor=rowmajor, rolled=rolled)
+              residual=residual, rowmajor=rowmajor, rolled=rolled, wl=wl)
     const2 = lambda bb: (0, 0)
     strip_spec = pl.BlockSpec((ipg, hb_rows, w, c), lambda bb: (bb, 0, 0, 0))
     exact_spec = pl.BlockSpec((ipg, h, w, c), lambda bb: (bb, 0, 0, 0))
     in_specs = [
-        strip_spec,
+        pl.BlockSpec((ipg, hb_rows, wl, c), lambda bb: (bb, 0, 0, 0)),
         pl.BlockSpec((1, c), const2),
         pl.BlockSpec((1, c), const2),
         pl.BlockSpec((3 * c, c), const2),
         pl.BlockSpec((1, 3 * c), const2),
         pl.BlockSpec((c, c), const2),
         pl.BlockSpec((num_heads, PW * PW, PW * PW), lambda bb: (0, 0, 0)),
-        exact_spec,
+        strip_spec,
     ]
     out_specs = [
         exact_spec,
