@@ -455,9 +455,12 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
     # strictly smaller than the offset-window grid (stage-3 512²: 25 vs 36
     # windows — offset windows inflate QKV/attention M-rows by the leading
     # void fragments).  Forward-only: the VJP recomputes its own forward.
+    # Default ON since the round-4 TPU A/B: swin fwd 26.3 → 24.7 ms at
+    # 512²/b16 (scripts/r4b_measure.sh legs 1-2).  LC2IS_CANVAS_ROLL=0
+    # restores offset windows.
     rolled = (shift > 0
               and (hp // win) * (wp // win) < ns * nw
-              and _os.environ.get("LC2IS_CANVAS_ROLL", "0") == "1")
+              and _os.environ.get("LC2IS_CANVAS_ROLL", "1") == "1")
     if rolled:
         ns, nw, wc, o = hp // win, wp // win, wp, 0
 
@@ -773,7 +776,7 @@ def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
     # rolled geometry: same gate as the forward (see _canvas_fwd_impl)
     rolled = (shift > 0
               and (hp // win) * (wp // win) < ns * nw
-              and _os.environ.get("LC2IS_CANVAS_ROLL", "0") == "1")
+              and _os.environ.get("LC2IS_CANVAS_ROLL", "1") == "1")
     if rolled:
         ns, nw, wc, o = hp // win, wp // win, wp, 0
     hb_rows = ns * win
