@@ -12,7 +12,7 @@ import numpy as np
 
 from lc2is_tpu.data.ade20k import CLIP_MEAN, CLIP_STD
 from lc2is_tpu.data.transforms import ShortestEdgeResizeCenterCrop
-from lc2is_tpu.ops.bpe import tokenize_batch_padded
+from lc2is_tpu.ops.bpe import tokenize, tokenize_batch_padded
 
 
 def change_ids(x: np.ndarray, id_mapping: np.ndarray) -> np.ndarray:
@@ -135,3 +135,25 @@ class ADE20KCollator:
         img = np.concatenate(img_list, axis=0)
         label = np.concatenate(label_list, axis=0)
         return dict(pixel_values=img, label=label), metas_list
+
+
+class ADE20KTextCollator(ADE20KCollator):
+    """ADE20KCollator + tokenized per-image joined class texts for the v1
+    CLIP models (``collator.py:102-104`` semantics — per-image present class
+    names joined with ', ' and tokenized — over the NEWEST (img, label, metas)
+    dataset format).  TPU-first deviation: ids are padded to a FIXED
+    ``context_length`` (CLIP's 77) instead of HF's pad-to-longest, so the
+    jitted train step sees one static text shape instead of recompiling per
+    batch; attention_mask marks real tokens exactly as HF padding would."""
+
+    def __init__(self, context_length: int = 77, join_text: str = ", "):
+        self.context_length = context_length
+        self.join_text = join_text
+
+    def __call__(self, features: List[Any]) -> Tuple[Dict[str, np.ndarray], List]:
+        inputs, metas_list = super().__call__(features)
+        joined = [self.join_text.join(m["class_texts"]) for m in metas_list]
+        ids = tokenize(joined, context_length=self.context_length)
+        inputs["input_ids"] = ids
+        inputs["attention_mask"] = (ids != 0).astype(np.int64)
+        return inputs, metas_list

@@ -6,8 +6,11 @@ hook cadences — ``engine.py:40-42``: eval/save default every 10 epochs, log
 every epoch; stop at ``train_step % train_steps == 0``), redesigned inside:
 
 - one jitted, donated train step over a ``jax.sharding.Mesh`` — batch sharded
-  on the ``data`` axis, params replicated, gradient reduction inserted by
-  GSPMD (the communication backend the reference lacks, SURVEY.md §5.8);
+  on the ``data`` axis, params TP-placed over the ``model`` axis when the
+  mesh has one (parallel/sharding.py rules; replicated on a pure-DP mesh),
+  optimizer moments inheriting their parameter's sharding, gradient reduction
+  inserted by GSPMD (the communication backend the reference lacks,
+  SURVEY.md §5.8);
 - bf16 compute / fp32 params instead of fp16+GradScaler (``engine.py:59-60``
   equivalent; the ``fp16`` flag maps to bf16 on TPU, no scaler needed);
 - eval accumulates losses AND metrics on device per batch (per-image mIoU +
@@ -29,12 +32,15 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from lc2is_tpu.core.mesh import DATA_AXIS, batch_sharding, make_mesh, replicated
 from lc2is_tpu.engine import checkpoint as ckpt
 from lc2is_tpu.engine.loggers import make_logger
 from lc2is_tpu.engine.optim import make_optimizer
 from lc2is_tpu.metrics.miou import batch_confusion, per_image_miou
 from lc2is_tpu.nn.losses import auxiliary_loss, cross_entropy
+from lc2is_tpu.parallel.sharding import infer_opt_specs, infer_param_specs
 
 
 def _normalize_output(out) -> Dict[str, jnp.ndarray]:
@@ -127,7 +133,12 @@ class Engine:
         if params is None:
             init_batch = self._peek_batch()
             params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), init_batch)
-        self.params = jax.device_put(params, replicated(self.mesh))
+        # TP: megatron-style param placement over the model axis when the
+        # mesh has one (parallel/sharding.py rules); a pure-DP mesh yields
+        # all-P() specs == the previous replicated placement.  The spec tree
+        # covers the full variables dict (non-"params" collections replicate).
+        self._param_shardings = self._variables_shardings(params)
+        self.params = jax.device_put(params, self._param_shardings)
 
         # --- optimizer ---
         if optimizer is None:
@@ -140,7 +151,13 @@ class Engine:
             )
         self.tx = optimizer
         inner = self.params["params"] if "params" in self.params else self.params
-        self.opt_state = jax.device_put(jax.jit(self.tx.init)(inner), replicated(self.mesh))
+        # optimizer moments inherit their parameter's sharding (shard-local
+        # AdamW update under TP; all-P() on a pure-DP mesh)
+        opt_state = jax.jit(self.tx.init)(inner)
+        self._opt_shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s),
+            infer_opt_specs(opt_state, inner, self._inner_param_specs))
+        self.opt_state = jax.device_put(opt_state, self._opt_shardings)
 
         self._train_step = None
         self._eval_step = None
@@ -150,6 +167,25 @@ class Engine:
         self.train_metrics: Dict = {}
         self.eval_metrics: Dict = {}
         self.all_train_metrics: Dict[str, List[float]] = {}
+
+    # ------------------------------------------------------------------
+    def _variables_shardings(self, variables):
+        """NamedSharding tree for the full variables dict: the ``params``
+        collection follows the TP rules (all-P() on a pure-DP mesh — the
+        replicated placement the engine always had), other collections
+        replicate.  Also records the raw inner specs for the optimizer."""
+        inner = variables["params"] if "params" in variables else variables
+        self._inner_param_specs = infer_param_specs(inner, self.mesh)
+        inner_sh = jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s), self._inner_param_specs)
+        if "params" in variables:
+            # exact-structure tree (device_put needs a full match, and
+            # FrozenDict vs dict must be preserved)
+            return type(variables)(
+                {k: (inner_sh if k == "params"
+                     else jax.tree_util.tree_map(lambda _: replicated(self.mesh), v))
+                 for k, v in variables.items()})
+        return inner_sh
 
     # ------------------------------------------------------------------
     def _make_bar(self, total: int, desc: str, leave: bool = True):
@@ -293,12 +329,13 @@ class Engine:
         # would crash on any batch not divisible by the data axis
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(rep, rep, None, None, rep),
-            out_shardings=(rep, rep, rep),
+            in_shardings=(self._param_shardings, self._opt_shardings, None, None, rep),
+            out_shardings=(self._param_shardings, self._opt_shardings, rep),
             donate_argnums=(0, 1) if donate else (),
         )
         self._eval_step = jax.jit(
-            eval_step, in_shardings=(rep, None, None), out_shardings=(rep, rep, rep, None)
+            eval_step, in_shardings=(self._param_shardings, None, None),
+            out_shardings=(rep, rep, rep, None)
         )
 
     def _put_batch(self, tree):
@@ -474,8 +511,8 @@ class Engine:
         if fname is None:
             return 0
         state, meta = ckpt.load_checkpoint(fname)
-        self.params = jax.device_put(state["params"], replicated(self.mesh))
-        self.opt_state = jax.device_put(state["opt_state"], replicated(self.mesh))
+        self.params = jax.device_put(state["params"], self._param_shardings)
+        self.opt_state = jax.device_put(state["opt_state"], self._opt_shardings)
         self.train_step_count = int(meta.get("step", 0))
         return self.train_step_count
 

@@ -455,9 +455,12 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
     # strictly smaller than the offset-window grid (stage-3 512²: 25 vs 36
     # windows — offset windows inflate QKV/attention M-rows by the leading
     # void fragments).  Forward-only: the VJP recomputes its own forward.
-    # Default ON since the round-4 TPU A/B: swin fwd 26.3 → 24.7 ms at
-    # 512²/b16 (scripts/r4b_measure.sh legs 1-2).  LC2IS_CANVAS_ROLL=0
-    # restores offset windows.
+    # Default ON: round-4 component A/B measured swin fwd 26.3 → 24.7 ms at
+    # 512²/b16 (scripts/r4b_measure.sh legs 1-2) and the round-5 END-TO-END
+    # bench.py A/B (ADVICE r4) confirmed it: ROLL=1 315.2 vs ROLL=0 313.4
+    # device-est img/s in the same healthy-tunnel window (the r4 297.3
+    # headline reading was degraded-tunnel noise, not a rolled-mode cost).
+    # LC2IS_CANVAS_ROLL=0 restores offset windows.
     rolled = (shift > 0
               and (hp // win) * (wp // win) < ns * nw
               and _os.environ.get("LC2IS_CANVAS_ROLL", "1") == "1")

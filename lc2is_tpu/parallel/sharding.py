@@ -112,3 +112,37 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
     ), specs
+
+
+def infer_opt_specs(opt_state, params, param_specs):
+    """PartitionSpec pytree for an optax state: moment buffers inherit their
+    parameter's spec (AdamW's mu/nu have the same shape as the param — a
+    TP-sharded weight keeps TP-sharded moments, so the optimizer update runs
+    shard-local with zero resharding), everything else (step counters,
+    schedule state) is replicated.
+
+    Matching is structural: any opt-state leaf whose tree path ENDS WITH a
+    parameter's full path (optax nests the param tree under NamedTuple fields
+    like ``ScaleByAdamState.mu``) and whose shape equals that parameter's
+    shape gets the parameter's spec.
+    """
+    by_path = {}
+
+    def record(path, leaf, spec):
+        by_path[_path_str(path)] = (getattr(leaf, "shape", None), spec)
+
+    jax.tree_util.tree_map_with_path(record, params, param_specs)
+
+    def spec(path, leaf):
+        keys = [str(k.key) if hasattr(k, "key") else getattr(k, "name", None) or str(getattr(k, "idx", k))
+                for k in path]
+        shape = getattr(leaf, "shape", None)
+        # try successively shorter suffixes of the opt leaf's path
+        for start in range(len(keys)):
+            cand = ".".join(keys[start:])
+            hit = by_path.get(cand)
+            if hit is not None and hit[0] == shape:
+                return hit[1]
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, opt_state)

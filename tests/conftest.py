@@ -34,3 +34,34 @@ def rng():
 def _assert_cpu():
     assert jax.devices()[0].platform == "cpu", jax.devices()
     assert len(jax.devices()) == 8, jax.devices()
+
+
+# ---------------------------------------------------------------------------
+# Two-tier suite (VERDICT r4 #5): the default tier must stay fast enough for
+# keep-green runs; the heavy HF-twin goldens and mesh-interpret tests carry
+# @pytest.mark.slow and run in the full tier:
+#   python -m pytest tests/ -q                  # fast tier (default)
+#   python -m pytest tests/ -q --runslow        # full tier (CI cadence)
+#   LC2IS_SLOW_TESTS=1 python -m pytest tests/  # full tier via env
+# ---------------------------------------------------------------------------
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run @pytest.mark.slow tests (full tier)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy HF-twin goldens / mesh-interpret / rehearsal tests "
+        "(full tier: --runslow or LC2IS_SLOW_TESTS=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("LC2IS_SLOW_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (pass --runslow or set LC2IS_SLOW_TESTS=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -4,6 +4,7 @@ LC2IS_BPE_PATH points at a CLIP merges file)."""
 import os
 
 import numpy as np
+import pytest
 
 from lc2is_tpu.ops.bpe import EOT, SOT, bytes_to_unicode, tokenize, tokenize_batch_padded
 
@@ -130,20 +131,32 @@ def test_real_vocab_id_parity_if_available():
     assert ours.tolist() == [list(t) for t in theirs]
 
 
-def test_hash_fallback_warns_once():
+def test_hash_fallback_logs_and_explicit_path_raises():
     """The offline fallback must announce itself (VERDICT r1: tokenizer
-    honesty) — ids are NOT CLIP ids."""
-    import warnings
+    honesty) — ids are NOT CLIP ids.  Since r5 the announcement goes through
+    the ``lc2is_tpu.bpe`` logger (NullHandler-backed, so recorded bench/dryrun
+    tails stay clean — VERDICT r4 #8), and an EXPLICIT unreadable merges path
+    is a loud FileNotFoundError instead of a silent fallback."""
+    import logging
 
     import lc2is_tpu.ops.bpe as bpe
 
+    records = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = _Capture()
+    bpe._LOG.addHandler(h)
     bpe._tokenizers.pop(None, None)  # reset the cached fallback
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        env_path = os.environ.pop("LC2IS_BPE_PATH", None)
-        try:
-            bpe.get_tokenizer()
-        finally:
-            if env_path is not None:
-                os.environ["LC2IS_BPE_PATH"] = env_path
-    assert any("hash-fallback" in str(x.message) for x in w)
+    env_path = os.environ.pop("LC2IS_BPE_PATH", None)
+    try:
+        bpe.get_tokenizer()
+        with pytest.raises(FileNotFoundError):
+            bpe.get_tokenizer("/nonexistent/merges.txt.gz")
+    finally:
+        if env_path is not None:
+            os.environ["LC2IS_BPE_PATH"] = env_path
+        bpe._LOG.removeHandler(h)
+    assert any("hash-fallback" in m for m in records)

@@ -156,3 +156,24 @@ def test_synthetic_dataset_deterministic():
     a, la, _ = ds1[2]
     b, lb, _ = ds2[2]
     assert np.array_equal(a, b) and np.array_equal(la, lb)
+
+
+def test_ade20k_text_collator(fake_ade20k):
+    """ADE20KTextCollator: ADE20KCollator surface + tokenized joined class
+    texts at a FIXED context length (static text shape under jit) for the v1
+    CLIP models (collator.py:102-104 semantics)."""
+    from lc2is_tpu.data.collators import ADE20KTextCollator
+    from lc2is_tpu.ops.bpe import SOT
+
+    tr = Compose([Resize(64)])
+    ds = A.ADE20KDataset(root=fake_ade20k, split="validation", transform=tr)
+    coll = ADE20KTextCollator(context_length=32)
+    inputs, metas = coll([ds[0], ds[1]])
+    assert inputs["pixel_values"].shape[0] == 2
+    assert inputs["input_ids"].shape == (2, 32)
+    assert inputs["attention_mask"].shape == (2, 32)
+    assert (inputs["input_ids"][:, 0] == SOT).all()
+    assert ((inputs["input_ids"] != 0) == (inputs["attention_mask"] == 1)).all()
+    # per-image joined texts differ when present classes differ
+    if metas[0]["class_texts"] != metas[1]["class_texts"]:
+        assert not np.array_equal(inputs["input_ids"][0], inputs["input_ids"][1])

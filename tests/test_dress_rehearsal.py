@@ -21,6 +21,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full tier (--runslow): VERDICT r4 #5 two-tier split
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
@@ -120,3 +122,85 @@ def test_dress_rehearsal_checkpoint_cli_miou(tmp_path, synthetic_bpe):
     out_b = model.apply({"params": reimported}, x)["outputs"]
     assert np.array_equal(np.asarray(jnp.argmax(out_a, 1)), np.asarray(jnp.argmax(out_b, 1)))
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=0.0)
+
+
+def test_parity_eval_sh_code_path(tmp_path, synthetic_bpe):
+    """Drive scripts/parity_eval.sh's EXACT code path (VERDICT r4 #7): the
+    flag set is PARSED OUT OF THE SHELL SCRIPT (so script/test drift fails
+    here), the checkpoint is a synthesized reference-format torch-zip ``.pt``
+    for the script's default model (base_with_text, with the prototype-table
+    param the reference trains — model/model.py:22), and the run goes through
+    ``cli/evaluate.py`` with ``--gt_metrics --gt_bucket`` exactly as the
+    real-asset acceptance run will.  Only dataset identity and sizes are
+    substituted (synthetic data, CPU-budget shapes); every other flag the
+    script passes is asserted present."""
+    import re
+
+    sh = open(os.path.join(os.path.dirname(__file__), "..", "scripts",
+                           "parity_eval.sh")).read()
+    # the evaluate invocation is the only python block; collect its flags
+    block = sh[sh.index("python -m lc2is_tpu.cli.evaluate"):]
+    script_flags = re.findall(r"(--[a-z0-9_]+)", block)
+    assert "--gt_metrics" in script_flags and "--gt_bucket" in script_flags
+
+    # flags whose VALUES the test overrides for CPU budget / offline data;
+    # the flag itself still rides the argv so the parse path is identical
+    resized = {"--data_size": "8", "--img_size": "64", "--label_size": "16",
+               "--batch_size": "4", "--gt_bucket": "16"}
+    # dataset substitution: the only structural difference vs the real run
+    substituted = {"--data_name": "synthetic", "--data_root": None, "--split": None}
+
+    # --- synthesize a reference-format checkpoint for the script's model ----
+    from argparse import Namespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from lc2is_tpu.cli.common import build_arg_parser, build_model
+    from lc2is_tpu.data.ade20k import SyntheticADE20K
+
+    names = SyntheticADE20K(length=1, img_size=64).class_names
+    seed_args = build_arg_parser().parse_args(
+        ["--name", "synth", "--model", "base_with_text", "--img_size", "64",
+         "--label_size", "16", "--dropout", "0"])
+    model = build_model(seed_args, names)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        {"pixel_values": jnp.zeros((1, 3, 64, 64), jnp.float32),
+         "input_ids": jnp.zeros((1, 9), jnp.int64),
+         "attention_mask": jnp.ones((1, 9), jnp.int64)})
+    c = [0]
+
+    def mk(s):
+        c[0] += 1
+        return jnp.asarray(0.02 * np.random.RandomState(c[0]).randn(*s.shape), s.dtype)
+
+    inner = jax.tree_util.tree_map(mk, shapes)["params"]
+    ckpt = str(tmp_path / "step-400.pt")
+    export_reference_pt(inner, ckpt)
+
+    # --- build the argv FROM the script template ----------------------------
+    values = {"--name": "parity-eval", "--checkpoint": ckpt, "--seed": "1024",
+              "--model": "base_with_text", "--patch_size": "16",
+              "--dropout": "0", "--fp16": "False", "--logger": "csv"}
+    values.update(resized)
+    values.update({k: v for k, v in substituted.items() if v is not None})
+    argv = []
+    for flag in dict.fromkeys(script_flags):  # script order, deduped
+        if flag in substituted and substituted[flag] is None:
+            continue
+        argv.append(flag)
+        if flag in values:
+            argv.append(values[flag])
+        elif flag not in ("--gt_metrics",):  # store_true flags take no value
+            raise AssertionError(f"parity_eval.sh passes {flag} but the "
+                                 "rehearsal has no value for it — update the test")
+    argv += ["--out_dir", str(tmp_path / "out")]
+
+    from lc2is_tpu.cli import evaluate as evaluate_cli
+
+    metrics = evaluate_cli.main(argv)
+    # the three numbers the parity run will quote (script header)
+    for key in ("eval_mIOU_label", "eval_mIOU_gt", "eval_mIOU_dataset"):
+        assert key in metrics, (key, sorted(metrics))
+        assert np.isfinite(metrics[key]), (key, metrics[key])

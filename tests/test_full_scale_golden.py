@@ -10,6 +10,8 @@ tests run the real shapes once each.
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full tier (--runslow): VERDICT r4 #5 two-tier split
 import jax.numpy as jnp
 
 from lc2is_tpu.models.weights import load_clip_vision_params, load_swin_params

@@ -42,6 +42,7 @@ def test_fused_ce_r1_falls_back_to_plain_ce():
         rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # full tier (--runslow): VERDICT r4 #5 two-tier split
 def test_return_score_map_training_equivalence(monkeypatch):
     """model(return_score_map) + fused CE == CE on the model's full outputs."""
     monkeypatch.setenv("LC2IS_PALLAS_INTERPRET", "1")

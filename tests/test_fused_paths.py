@@ -92,6 +92,7 @@ def test_decoder_layer_fused_grads_match_xla(force_pallas):
                                    err_msg=jax.tree_util.keystr(k))
 
 
+@pytest.mark.slow  # full tier (--runslow): VERDICT r4 #5 two-tier split
 def test_swin_fused_grads_match_xla(force_pallas):
     r = np.random.RandomState(6)
     x = jnp.asarray(r.randn(1, 3, 32, 32), jnp.float32)
@@ -137,6 +138,7 @@ def test_decoder_layer_fused_asymmetric_dkv(force_pallas):
                                    err_msg=jax.tree_util.keystr(pa))
 
 
+@pytest.mark.slow  # full tier (--runslow): VERDICT r4 #5 two-tier split
 def test_swin_fused_drop_path_training_matches_xla(force_pallas):
     """Stochastic depth must NOT force the unfused path (train-perf critical):
     with drop_path>0 and deterministic=False the fused kernels run with

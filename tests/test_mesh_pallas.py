@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full tier (--runslow): VERDICT r4 #5 two-tier split
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from lc2is_tpu.core.mesh import DATA_AXIS, make_mesh

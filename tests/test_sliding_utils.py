@@ -95,6 +95,7 @@ def test_pad_concat_unpad(rng):
         assert np.array_equal(np.asarray(t), np.asarray(b))
 
 
+@pytest.mark.slow  # full tier (--runslow): VERDICT r4 #5 two-tier split
 def test_dp_sliding_miou_matches_single_device(rng):
     """BASELINE.json config #5 as one path: multi-scale sliding eval DATA-
     PARALLEL over the 8-device mesh with psum'd per-image mIoU must equal the

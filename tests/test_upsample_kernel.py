@@ -92,6 +92,7 @@ def test_score_upsample_argmax_batched_matmul_branch():
     assert (got == want).all()
 
 
+@pytest.mark.slow  # full tier (--runslow): VERDICT r4 #5 two-tier split
 def test_predict_masks_path(monkeypatch):
     """predict_masks=True returns int32 masks equal to argmax of the full map."""
     monkeypatch.setenv("LC2IS_PALLAS_INTERPRET", "1")

@@ -10,6 +10,8 @@ final bilinear x4 — through the real weight-import path.
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full tier (--runslow): VERDICT r4 #5 two-tier split
 import jax
 import jax.numpy as jnp
 

@@ -149,6 +149,7 @@ def test_final_aux_family(rng, name):
     assert out["low_score_map"].shape == (B, 3, IMG // 16, IMG // 16)
 
 
+@pytest.mark.slow  # full tier (--runslow): VERDICT r4 #5 two-tier split
 def test_grads_flow_aux_cross(rng):
     """End-to-end gradient through the canonical model (CE + 0.4*aux)."""
     from lc2is_tpu.nn.losses import auxiliary_loss, cross_entropy
