@@ -512,7 +512,18 @@ class Engine:
             return 0
         state, meta = ckpt.load_checkpoint(fname)
         self.params = jax.device_put(state["params"], self._param_shardings)
-        self.opt_state = jax.device_put(state["opt_state"], self._opt_shardings)
+        # the npz round-trip turns optax NamedTuples into plain tuples; zip
+        # the flats (leaf order is preserved by the checkpoint format) and
+        # unflatten into the CANONICAL optax structure (the sharding tree
+        # shares tx.init's treedef) so the jitted step's structured
+        # in_shardings match the resumed state
+        sh_leaves, sh_def = jax.tree_util.tree_flatten(self._opt_shardings)
+        ld_leaves = jax.tree_util.tree_leaves(state["opt_state"])
+        if len(sh_leaves) == len(ld_leaves):
+            self.opt_state = jax.tree_util.tree_unflatten(
+                sh_def, [jax.device_put(x, s) for x, s in zip(ld_leaves, sh_leaves)])
+        else:  # structure drifted (e.g. optimizer changed) — replicate
+            self.opt_state = jax.device_put(state["opt_state"], replicated(self.mesh))
         self.train_step_count = int(meta.get("step", 0))
         return self.train_step_count
 
