@@ -164,19 +164,24 @@ def _make_layout(ns, nw, win, o, W, wc, rowmajor, w_in=None):
         return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cat
 
     def transform_cm(canvas):
-        # column-major tokens (t = c_in·8 + r_in): needs a sublane↔major
-        # swapaxes + moveaxis — vector-shuffle heavy
+        # (t = c_in·8 + r_in) token order; the sublane↔major exchange runs
+        # per-strip ((8, wc) ↔ (wc, 8) under the ns batch dim) and the
+        # strip-major window split lands the (c_in, r_in) dims ALREADY
+        # adjacent, so no trailing (ns, nw, 8, 8) major-permute pass is
+        # needed.  An earlier formulation (one whole-canvas swapaxes(0,1)
+        # plus a moveaxis(2,0) — git: round ≤4) measured equal-or-worse on
+        # every r5 A/B leg (whole swin fwd 26.38 vs 26.17 ms, stage-3
+        # fwd+bwd 37.71 vs 37.10 ms, stage-1/2 single blocks no worse) and
+        # was deleted per win-or-delete.
         ch, dtp = canvas.shape[-1], canvas.dtype
         cat = _offset_pad(canvas)                          # (hb, wc, ch)
         cat = cat.reshape(ns, win, wc, ch)
         cat = jnp.concatenate(
             [cat, jnp.zeros((ns, PW - win, wc, ch), dtp)], axis=1)  # pad rows
-        cat = cat.reshape(ns * PW, wc, ch)
-        cat = jnp.swapaxes(cat, 0, 1)                      # (Wc, ns·8, ch)
-        cat = cat.reshape(nw, win, ns, PW, ch)             # split major Wc
+        cat = jnp.swapaxes(cat, 1, 2)                      # (ns, wc, 8, ch)
+        cat = cat.reshape(ns, nw, win, PW, ch)             # split wc (major)
         cat = jnp.concatenate(
-            [cat, jnp.zeros((nw, PW - win, ns, PW, ch), dtp)], axis=1)
-        cat = jnp.moveaxis(cat, 2, 0)                      # (ns, nw, 8, 8, ch) major permute
+            [cat, jnp.zeros((ns, nw, PW - win, PW, ch), dtp)], axis=2)
         return cat.reshape(ns * nw, PW * PW, ch)           # t = c_in·8 + r_in
 
     def _unshift(y):
@@ -190,11 +195,12 @@ def _make_layout(ns, nw, win, o, W, wc, rowmajor, w_in=None):
         return y[:, :W]
 
     def inverse_cm(toks):
+        # exact mirror of transform_cm (drop pads, per-strip swapaxes back)
         ch = toks.shape[-1]
-        y = jnp.moveaxis(toks.reshape(ns, nw, PW, PW, ch), 0, 2)  # (nw, 8, ns, 8, ch)
-        y = y[:, :win].reshape(wc, ns * PW, ch)
-        y = jnp.swapaxes(y, 0, 1)                                # (ns·8, Wc, ch)
-        y = y.reshape(ns, PW, wc, ch)[:, :win].reshape(ns * win, wc, ch)
+        y = toks.reshape(ns, nw, PW, PW, ch)[:, :, :win]         # (ns, nw, 7, 8, ch)
+        y = y.reshape(ns, wc, PW, ch)                            # merge cols (major)
+        y = jnp.swapaxes(y, 1, 2)                                # (ns, 8, wc, ch)
+        y = y[:, :win].reshape(ns * win, wc, ch)                 # drop row pads
         return _unshift(y)
 
     # A selection-MATMUL layout (both regroup axes as 0/1-matrix matmuls,
