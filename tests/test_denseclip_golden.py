@@ -305,6 +305,8 @@ def test_context_decoder_golden(rng):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # 93 s: full HF/torch-twin golden — slow-tier class; the
+# flagship forward stays fast-tier-covered by test_zoo + the canvas suites
 def test_prompt_aux_cross_a_golden(rng):
     transformers = pytest.importorskip("transformers")
     from test_v4_golden import DIMS, HEADS, IMG, TorchHierCross, WINDOW, DEC_DIM, NHEAD

@@ -78,6 +78,8 @@ def test_dense_clip(rng):
     assert out.shape[0] == B
 
 
+@pytest.mark.slow  # 48 s: full-width CLIP+FTN build; v1 wiring stays
+# fast-tier-covered by test_base_model_with_text / test_contrastive_model
 def test_prompt_ftn_v1(rng):
     model = zoo.PromptFTNv1()
     inputs = _inputs(rng)
