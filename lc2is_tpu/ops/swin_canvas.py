@@ -23,11 +23,11 @@ This kernel reads the RAW (B, H, W, C) canvas and does everything inside:
   zero pad rows; positions outside the HF canvas ("void": the offset
   windows' leading fragments and the geometric 7→8 padding) are masked out
   of attention entirely;
-- in-VMEM layout: strip (win, Wc, C) → transpose → (Wc, 8, C) → split/pad →
-  (nw, 64, C) token blocks (token order c·8+r — the relative-position bias
-  is permuted to match outside the kernel), one packed QKV matmul, per-head
-  attention with label masking, out-proj + residual, inverse layout, strip
-  write.
+- in-VMEM layout: strips (ns, 8, Wc, C) → per-strip transpose → (ns, Wc, 8,
+  C) → split/pad cols → (ns·nw, 64, C) token blocks (token order c·8+r —
+  the relative-position bias is permuted to match outside the kernel), one
+  packed QKV matmul, per-head attention with label masking, out-proj +
+  residual, inverse layout, strip write.
 
 HBM traffic per block becomes read 2×canvas + write 1×canvas (+1 crop copy
 outside) with zero XLA layout ops.  Matches HF SwinModel semantics
