@@ -492,7 +492,11 @@ def _canvas_fwd_impl(x, ln_w, ln_b, wqkv, bqkv, wo, bo, bias, num_heads,
     # images per grid step: small canvases (stages 3-4) batch several images
     # so the QKV/attention matmul M-dims stay MXU-sized; the budget bounds
     # the kernel's ~10 f32 canvas-sized intermediates.  Must divide b.
-    budget = int(_os.environ.get("LC2IS_CANVAS_IPG_MB", "48")) * 1024 * 1024
+    # Default 24 MB measured best on v5e 512²/b16 in a same-window sweep
+    # (swin fwd 24.56 / 25.88 / 25.41 ms at 24/48/96; stage-3 fwd+bwd
+    # 36.57 vs 37.83 at 24 vs 48) — the smaller working set double-buffers
+    # better than the fatter matmul M-dim pays.
+    budget = int(_os.environ.get("LC2IS_CANVAS_IPG_MB", "24")) * 1024 * 1024
     per_img = 10 * hb_rows * max(wc, w) * c * 4
     ipg = max(1, min(b, budget // max(per_img, 1)))
     while b % ipg:
@@ -791,8 +795,10 @@ def _canvas_bwd_pallas(x, ln_w, ln_b, wqkv, bqkv, wo, bias, g, num_heads,
     hb_rows = ns * win
 
     # the backward holds ~2× the forward's intermediates (grads mirror
-    # activations): half the images per grid step
-    budget = int(_os.environ.get("LC2IS_CANVAS_IPG_MB", "48")) * 1024 * 1024
+    # activations): half the images per grid step.  Default 24 MB: see the
+    # forward's same-window sweep note (stage-3 fwd+bwd 36.57 vs 37.83 ms
+    # at 24 vs 48 on v5e b8)
+    budget = int(_os.environ.get("LC2IS_CANVAS_IPG_MB", "24")) * 1024 * 1024
     per_img = 14 * hb_rows * max(wc, w) * c * 4
     ipg = max(1, min(b, budget // max(per_img, 1)))
     while b % ipg:
